@@ -1,0 +1,186 @@
+"""Windowed distance-outlier detector: classification + violation assembly.
+
+Re-expresses the MCOD semantics (/root/reference/src/algorithms/MCOD.java) as
+per-batch recomputation over a neighbor-pair table instead of incremental
+index maintenance. A point's status at any moment is fully determined by the
+window content (count of neighbors within R >= k,
+/root/reference/src/algorithms/MCOD.java:69-78); the reference's event queue,
+micro-clusters and PD index (W3/J6/A9 in SURVEY.md) exist only to make
+single-threaded incrementality fast and contribute nothing to the semantics.
+
+Three kinds of evaluation moment reproduce the full status trajectory:
+
+  * ``end``     — after batch b's ingestion: window = slides [b-ws+1 .. b].
+                  Every point is evaluated in every batch it lives through.
+  * ``pre``     — after batch b's expiry, before its ingestion: window =
+                  slides [b-ws+1 .. b-1] (the event-queue re-check moment,
+                  /root/reference/src/algorithms/MCOD.java:228-261).
+  * ``arrival`` — when p itself is ingested: neighbors are the surviving
+                  slides plus same-batch points with smaller id
+                  (/root/reference/src/algorithms/MCOD.java:302-317 ingests
+                  and classifies sequentially).
+
+Counts only grow between ``pre`` and ``end`` of the same batch, so the
+*violation* set (pure outliers: never inlier, nOutlier>0 && nInlier==0,
+/root/reference/src/core/OutlierDetector.java:43-62) needs only ``end``
+evaluations; ``pre`` and ``arrival`` matter for the lifetime statistics
+{nOnlyInlier, nOnlyOutlier, nBothInlierOutlier}
+(/root/reference/src/algorithms/MCODBase.java:205-227).
+
+Known, deliberate deviation (stats only, never the violation set): when a
+micro-cluster dissolves, the reference re-processes its members one at a
+time (/root/reference/src/algorithms/MCOD.java:283-290); members not yet
+reinserted are invisible to the rebuilding range queries, so a re-processed
+member can transiently *undercount* and be spuriously classified OUTLIER,
+inflating nBothInlierOutlier (observed: shuttle 5k, W=1000/S=100/R=45/k=30
+— reference prints 4549/234/217 where the true status trajectory gives
+4551/234/215). Transient *overcounts* are impossible, so spurious INLIER
+events cannot occur and the pure-outlier violation set is identical under
+both accountings — verified bit-exact against reference runs. We compute
+the order-independent semantic truth; replicating the artifact would
+require serializing the exact single-threaded reinsertion order.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..config import DetectorConfig
+from .pairs import exact_neighbor_pairs
+from .windows import n_batches, point_batches, with_slide
+
+
+@dataclass
+class DetectionResult:
+    """Lazy DataFrames for every stage of one detection run."""
+
+    evaluations: DataFrame  # (id, b, kind, cnt, is_inlier)
+    outliers: DataFrame  # (id) ascending — the violation set (K1 sink shape)
+    per_point: DataFrame  # (id, ever_inlier, ever_outlier)
+    stats: DataFrame  # single row of lifetime counters (K2 sink shape)
+
+
+def batch_counts(pairs: DataFrame, cfg: DetectorConfig, b_total: int) -> DataFrame:
+    """Per (point, batch) neighbor counts from the pair table.
+
+    A pair (i, j) counts toward i's ``end`` evaluation of every batch whose
+    window contains both, b in [max(si,sj), min(B, min(si,sj)+ws-1)], and
+    toward the ``pre`` evaluation of the same range minus its first batch.
+    One explode + one aggregation produces both counts; the fan-out factor
+    is <= W/S per pair and the groupBy pre-aggregates map-side.
+    """
+    ws = cfg.ws
+    grouped = pairs.groupBy("i", "slide_i", "slide_j").agg(
+        F.count(F.lit(1)).alias("c"),
+        F.sum(F.when(F.col("j") < F.col("i"), 1).otherwise(0)).alias("c_arr"),
+    )
+    lo = F.greatest("slide_i", "slide_j")
+    hi = F.least(F.lit(b_total), F.least("slide_i", "slide_j") + F.lit(ws - 1))
+    exploded = grouped.select(
+        F.col("i").alias("id"),
+        lo.alias("lo"),
+        F.explode(F.sequence(lo, hi)).alias("b"),
+        "c",
+    )
+    return exploded.groupBy("id", "b").agg(
+        F.sum("c").alias("cnt_end"),
+        F.sum(F.when(F.col("b") > F.col("lo"), F.col("c")).otherwise(0)).alias("cnt_pre"),
+    )
+
+
+def arrival_counts(pairs: DataFrame) -> DataFrame:
+    """Neighbor count seen by each point at its own ingestion moment.
+
+    Expiry of slides <= slide(i)-ws precedes ingestion of batch slide(i),
+    and the pair table already excludes slide gaps >= ws, so the arrival
+    count is simply the number of neighbors with smaller id.
+    """
+    return (
+        pairs.where(F.col("j") < F.col("i"))
+        .groupBy(F.col("i").alias("id"))
+        .agg(F.count(F.lit(1)).alias("cnt_arrival"))
+    )
+
+
+def evaluations(
+    points_with_slide: DataFrame,
+    pairs: DataFrame,
+    cfg: DetectorConfig,
+    b_total: int,
+) -> DataFrame:
+    """All (id, b, kind, cnt, is_inlier) evaluation rows (A3 classification)."""
+    k = cfg.k
+    counts = batch_counts(pairs, cfg, b_total)
+
+    pb = point_batches(points_with_slide, cfg, b_total)
+    end_evals = (
+        pb.join(counts, ["id", "b"], "left")
+        .select(
+            "id",
+            "b",
+            F.lit("end").alias("kind"),
+            F.coalesce("cnt_end", F.lit(0)).alias("cnt"),
+        )
+    )
+    pre_evals = (
+        pb.where(F.col("b") > F.col("slide"))
+        .join(counts, ["id", "b"], "left")
+        .select(
+            "id",
+            "b",
+            F.lit("pre").alias("kind"),
+            F.coalesce("cnt_pre", F.lit(0)).alias("cnt"),
+        )
+    )
+    arr_evals = (
+        points_with_slide.select("id", F.col("slide").alias("b"))
+        .join(arrival_counts(pairs), ["id"], "left")
+        .select(
+            "id",
+            "b",
+            F.lit("arrival").alias("kind"),
+            F.coalesce("cnt_arrival", F.lit(0)).alias("cnt"),
+        )
+    )
+    evals = end_evals.unionByName(pre_evals).unionByName(arr_evals)
+    return evals.withColumn("is_inlier", F.col("cnt") >= F.lit(k))
+
+
+def detect(
+    points: DataFrame, cfg: DetectorConfig, pairs: DataFrame | None = None
+) -> DetectionResult:
+    """Run the full detector; ``pairs`` may be injected (e.g. LSH variant)."""
+    pts = with_slide(points, cfg)
+    b_total = n_batches(points, cfg)
+    if pairs is None:
+        pairs = exact_neighbor_pairs(pts, cfg)
+
+    evals = evaluations(pts, pairs, cfg, b_total)
+
+    per_point = evals.groupBy("id").agg(
+        F.max(F.when(F.col("kind") == "end", F.col("is_inlier")).otherwise(F.lit(False))).alias(
+            "ever_inlier"
+        ),
+        F.max(~F.col("is_inlier")).alias("ever_outlier"),
+    )
+    outliers = (
+        per_point.where(~F.col("ever_inlier")).select("id").orderBy("id")
+    )
+    stats = per_point.agg(
+        F.sum((F.col("ever_inlier") & ~F.col("ever_outlier")).cast("long")).alias(
+            "n_only_inlier"
+        ),
+        F.sum((~F.col("ever_inlier") & F.col("ever_outlier")).cast("long")).alias(
+            "n_only_outlier"
+        ),
+        F.sum((F.col("ever_inlier") & F.col("ever_outlier")).cast("long")).alias(
+            "n_both_inlier_outlier"
+        ),
+        F.count(F.lit(1)).alias("n_points"),
+    )
+    return DetectionResult(
+        evaluations=evals, outliers=outliers, per_point=per_point, stats=stats
+    )
