@@ -1,10 +1,11 @@
-"""Driver contract for the spark-graft builder (PySpark target).
+"""Driver contract: flagship entry, per-operator queries, DuckDB oracles.
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Each ``queries()`` entry exercises one operator family from SURVEY.md §2 /
+the training-data-pipeline superset; ``oracle_sql()`` holds the ANSI-SQL
+twin DuckDB runs on the same parquet views. Column names and float rounding
+are aligned on both sides (the driver value-hashes after sorting columns by
+name). Non-SQL-expressible ops (seeded LSH / MinHash / SimHash / SRP-ANN)
+ship without an oracle — the driver records rows-only checks for those.
 """
 
 from __future__ import annotations
@@ -12,27 +13,597 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from approximate_anomaly_detection_in_data_streams_spark.api import (
+    lshod_config,
+    run_detector,
+)
+from approximate_anomaly_detection_in_data_streams_spark.config import DetectorConfig
+from approximate_anomaly_detection_in_data_streams_spark.functions.text import (
+    FP_BASE,
+    FP_MOD,
+    LANG_MARKERS,
+    fingerprint,
+    lang_id,
+    quality_features,
+    token_count_bpe,
+    token_count_ws,
+)
+from approximate_anomaly_detection_in_data_streams_spark.operators import knn as knn_ops
+from approximate_anomaly_detection_in_data_streams_spark.operators import (
+    dedup as dedup_ops,
+)
+from approximate_anomaly_detection_in_data_streams_spark.operators import (
+    profile as profile_ops,
+)
+from approximate_anomaly_detection_in_data_streams_spark.operators.accuracy import (
+    recall as recall_op,
+)
+
+# ---- shared parameters (inlined into both Spark queries and oracle SQL) ----
+
+# Flagship detector run on the events stream: 1-d feature = value,
+# id = event_id + 1 (reference ids start at 1,
+# /root/reference/src/core/OutlierDetector.java:10).
+DET_W, DET_S, DET_R, DET_K = 400, 100, 15.0, 10
+DET_WS = DET_W // DET_S
+
+JACCARD_N, JACCARD_T = 3, 0.7
+COS_T = 0.4
+KNN_K, KNN_NQ = 5, 20
+HH_MIN = 100
+
+
+def _load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _event_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _load(spark, sf_dir, "events").select(
+        (F.col("event_id") + 1).alias("id"),
+        F.array(F.col("value").cast("double")).alias("features"),
+    )
+
+
+def _det_cfg(algorithm: str = "mcod") -> DetectorConfig:
+    if algorithm == "lshod":
+        return lshod_config(DET_W, DET_S, DET_R, DET_K)
+    return DetectorConfig(w=DET_W, slide=DET_S, r=DET_R, k=DET_K, algorithm=algorithm)
+
+
+# ---- detector queries (SURVEY.md §2.2-2.6: W1/P4/J1/A1-A6) ----
+
+
+def q_mcod_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure-outlier violation set (A6) of the exact MCOD-semantics detector."""
+    return run_detector(_event_points(spark, sf_dir), _det_cfg()).outliers
+
+
+def q_mcod_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lifetime classification counters (A5; K2 stats sink shape)."""
+    return run_detector(_event_points(spark, sf_dir), _det_cfg()).stats
+
+
+def q_lshod_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded LSH approximate detector (J4/X3) — rows-only check."""
+    return run_detector(_event_points(spark, sf_dir), _det_cfg("lshod")).outliers
+
+
+def q_detector_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall of the LSH variant vs exact (J7/X4 comparator) — rows-only."""
+    pts = _event_points(spark, sf_dir)
+    exact = run_detector(pts, _det_cfg()).outliers
+    approx = run_detector(pts, _det_cfg("lshod")).outliers
+    return recall_op(exact, approx)
+
+
+# ---- validator profile queries (M3: stats, nulls, uniqueness, FK, HH) ----
+
+
+def q_col_stats_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = profile_ops.column_stats(
+        _load(spark, sf_dir, "lineitem"),
+        ["l_returnflag"],
+        ["l_quantity", "l_extendedprice"],
+    )
+    cols = [F.col("l_returnflag"), F.col("n_rows")]
+    for c in ("l_quantity", "l_extendedprice"):
+        cols += [
+            F.round(F.col(f"{c}_min"), 6).alias(f"{c}_min"),
+            F.round(F.col(f"{c}_max"), 6).alias(f"{c}_max"),
+            F.round(F.col(f"{c}_mean"), 6).alias(f"{c}_mean"),
+            F.round(F.col(f"{c}_std"), 6).alias(f"{c}_std"),
+            F.col(f"{c}_nulls"),
+        ]
+    return out.select(*cols).orderBy("l_returnflag")
+
+
+def q_null_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = profile_ops.null_profile(
+        _load(spark, sf_dir, "orders"), ["o_custkey", "o_totalprice", "o_orderpriority"]
+    )
+    keep = ["n_rows"] + [f"{c}_nulls" for c in ("o_custkey", "o_totalprice", "o_orderpriority")]
+    return out.select(*keep)
+
+
+def q_uniqueness_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return profile_ops.uniqueness(
+        _load(spark, sf_dir, "orders"), ["o_orderkey", "o_custkey"], exact=True
+    )
+
+
+def q_duplicate_custkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return profile_ops.duplicate_keys(_load(spark, sf_dir, "orders"), ["o_custkey"])
+
+
+def q_heavy_hitters_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return profile_ops.heavy_hitters(
+        _load(spark, sf_dir, "events"), "event_type", HH_MIN
+    )
+
+
+def q_referential_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orphans = profile_ops.referential_orphans(
+        _load(spark, sf_dir, "lineitem"),
+        _load(spark, sf_dir, "orders"),
+        "l_orderkey",
+        "o_orderkey",
+    )
+    return orphans.agg(F.count(F.lit(1)).alias("n_orphans"))
+
+
+def q_join_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast dim join + agg: revenue per market segment."""
+    orders = _load(spark, sf_dir, "orders")
+    cust = F.broadcast(_load(spark, sf_dir, "customer"))
+    return (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q1-shaped aggregation (map-side-combinable, one shuffle)."""
+    li = _load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def q_window_hourly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling event-time window aggregation (streaming-compatible shape)."""
+    ev = _load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm").alias("hour_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+        .orderBy("hour_start", "event_type")
+    )
+
+
+# ---- dedup queries ----
+
+
+def q_exact_dups_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup_ops.exact_duplicates(_load(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+def q_jaccard_pairs_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup_ops.ngram_jaccard_pairs(
+        _load(spark, sf_dir, "documents"), "doc_id", "text", JACCARD_N, JACCARD_T
+    )
+
+
+def q_minhash_pairs_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-banded near-dup join (rows-only; seeded xxhash64 not in DuckDB)."""
+    return dedup_ops.minhash_lsh_pairs(
+        _load(spark, sf_dir, "documents"), "doc_id", "text", JACCARD_N, threshold=JACCARD_T
+    )
+
+
+def q_simhash_pairs_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash pigeonhole near-dup join (rows-only)."""
+    return dedup_ops.simhash_neardup_pairs(
+        _load(spark, sf_dir, "documents"), "doc_id", "text", max_hamming=3
+    )
+
+
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup_ops.embedding_neardup_pairs(
+        _load(spark, sf_dir, "embeddings"), "vec_id", "embedding", COS_T
+    )
+
+
+# ---- similarity search ----
+
+
+def q_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _load(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < KNN_NQ)
+    return knn_ops.brute_force_topk(emb, queries, "vec_id", "embedding", KNN_K)
+
+
+def q_srp_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SRP-LSH bucketed approximate top-k (rows-only; seeded projections)."""
+    emb = _load(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < KNN_NQ)
+    return knn_ops.srp_ann_topk(emb, queries, "vec_id", "embedding", dim=64, k=KNN_K)
+
+
+# ---- text analysis ----
+
+
+def q_lang_id_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _load(spark, sf_dir, "documents")
+    return docs.select("doc_id", lang_id("text").alias("lang_pred")).orderBy("doc_id")
+
+
+def q_quality_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return quality_features(_load(spark, sf_dir, "documents"), "text", "doc_id").orderBy(
+        "doc_id"
+    )
+
+
+def q_token_counts_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        token_count_ws("text").cast("long").alias("n_ws_tokens"),
+        token_count_bpe("text").cast("long").alias("n_bpe_tokens"),
+    ).orderBy("doc_id")
+
+
+def q_fingerprint_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _load(spark, sf_dir, "documents")
+    return docs.select("doc_id", fingerprint("text").alias("fp")).orderBy("doc_id")
+
+
+# ---- driver surface ----
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: exact MCOD violation set on the sf0.001 events stream."""
+    return q_mcod_outliers(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "mcod_outliers": q_mcod_outliers,
+        "mcod_stats": q_mcod_stats,
+        "lshod_outliers": q_lshod_outliers,
+        "detector_recall": q_detector_recall,
+        "col_stats_lineitem": q_col_stats_lineitem,
+        "null_profile_orders": q_null_profile_orders,
+        "uniqueness_orders": q_uniqueness_orders,
+        "duplicate_custkeys": q_duplicate_custkeys,
+        "heavy_hitters_events": q_heavy_hitters_events,
+        "referential_orphans": q_referential_orphans,
+        "join_segment_revenue": q_join_segment_revenue,
+        "pricing_summary": q_pricing_summary,
+        "window_hourly_events": q_window_hourly_events,
+        "exact_dups_documents": q_exact_dups_documents,
+        "jaccard_pairs_documents": q_jaccard_pairs_documents,
+        "minhash_pairs_documents": q_minhash_pairs_documents,
+        "simhash_pairs_documents": q_simhash_pairs_documents,
+        "embedding_neardup": q_embedding_neardup,
+        "knn_bruteforce": q_knn_bruteforce,
+        "srp_ann": q_srp_ann,
+        "lang_id_documents": q_lang_id_documents,
+        "quality_documents": q_quality_documents,
+        "token_counts_documents": q_token_counts_documents,
+        "fingerprint_documents": q_fingerprint_documents,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---- oracle SQL ----
+
+
+def _detector_core_sql() -> str:
+    """Shared CTE prefix: points, pair table, per-(id, batch) counts."""
+    return f"""
+with pts as (
+  select event_id + 1 as id, value, (event_id // {DET_S}) + 1 as slide from events
+), nb as (
+  select cast(ceil(count(*) * 1.0 / {DET_S}) as bigint) as b_total from pts
+), pairs as (
+  select a.id as i, b.id as j, a.slide as si, b.slide as sj
+  from pts a join pts b
+    on a.id <> b.id
+   and abs(a.value - b.value) <= {DET_R}
+   and b.slide between a.slide - {DET_WS - 1} and a.slide + {DET_WS - 1}
+), counts as (
+  select i as id, x.b as b,
+         count(*) as cnt_end,
+         count(*) filter (where x.b > greatest(si, sj)) as cnt_pre
+  from pairs, nb,
+       unnest(generate_series(greatest(si, sj),
+                              least(nb.b_total, least(si, sj) + {DET_WS - 1}))) as x(b)
+  group by 1, 2
+), pb as (
+  select p.id, p.slide, x.b
+  from pts p, nb,
+       unnest(generate_series(p.slide, least(nb.b_total, p.slide + {DET_WS - 1}))) as x(b)
+)"""
+
+
+def _mcod_outliers_sql() -> str:
+    return (
+        _detector_core_sql()
+        + f"""
+, evals as (
+  select pb.id, coalesce(c.cnt_end, 0) >= {DET_K} as is_inlier
+  from pb left join counts c on c.id = pb.id and c.b = pb.b
+)
+select id from evals group by id having max(is_inlier) = false order by id
+"""
+    )
+
+
+def _mcod_stats_sql() -> str:
+    return (
+        _detector_core_sql()
+        + f"""
+, end_evals as (
+  select pb.id, 'end' as kind, coalesce(c.cnt_end, 0) as cnt
+  from pb left join counts c on c.id = pb.id and c.b = pb.b
+), pre_evals as (
+  select pb.id, 'pre' as kind, coalesce(c.cnt_pre, 0) as cnt
+  from pb left join counts c on c.id = pb.id and c.b = pb.b
+  where pb.b > pb.slide
+), arr_evals as (
+  select p.id, 'arrival' as kind, coalesce(a.cnt, 0) as cnt
+  from pts p left join (
+    select i as id, count(*) as cnt from pairs where j < i group by 1
+  ) a on a.id = p.id
+), evals as (
+  select * from end_evals union all select * from pre_evals
+  union all select * from arr_evals
+), per_point as (
+  select id,
+         bool_or(kind = 'end' and cnt >= {DET_K}) as ever_inlier,
+         bool_or(cnt < {DET_K}) as ever_outlier
+  from evals group by id
+)
+select
+  cast(sum(case when ever_inlier and not ever_outlier then 1 else 0 end) as bigint)
+    as n_only_inlier,
+  cast(sum(case when ever_outlier and not ever_inlier then 1 else 0 end) as bigint)
+    as n_only_outlier,
+  cast(sum(case when ever_inlier and ever_outlier then 1 else 0 end) as bigint)
+    as n_both_inlier_outlier,
+  count(*) as n_points
+from per_point
+"""
+    )
+
+
+def _col_stats_sql() -> str:
+    pieces = []
+    for c in ("l_quantity", "l_extendedprice"):
+        pieces.append(
+            f"""round(min({c}), 6) as {c}_min, round(max({c}), 6) as {c}_max,
+round(avg({c}), 6) as {c}_mean, round(stddev_samp({c}), 6) as {c}_std,
+cast(sum(case when {c} is null then 1 else 0 end) as bigint) as {c}_nulls"""
+        )
+    cols = ",\n".join(pieces)
+    return f"""
+select l_returnflag, count(*) as n_rows,
+{cols}
+from lineitem group by l_returnflag order by l_returnflag
+"""
+
+
+def _lang_scores_sql() -> str:
+    exprs = []
+    for lang in sorted(LANG_MARKERS):
+        terms = " + ".join(
+            f"length(regexp_extract_all(' ' || lower(text) || ' ', ' {w} '))"
+            for w in LANG_MARKERS[lang]
+        )
+        exprs.append(f"({terms}) as s_{lang}")
+    return ", ".join(exprs)
+
+
+def _lang_id_sql() -> str:
+    langs = sorted(LANG_MARKERS)
+    g = "greatest(" + ", ".join(f"s_{lg}" for lg in langs) + ")"
+    whens = "\n".join(f"when s_{lg} = {g} then '{lg}'" for lg in langs[:-1])
+    return f"""
+with scores as (select doc_id, {_lang_scores_sql()} from documents)
+select doc_id,
+  case when {g} = 0 then 'und'
+  {whens}
+  else '{langs[-1]}' end as lang_pred
+from scores order by doc_id
+"""
+
+
+def _quality_sql() -> str:
+    stop_terms = " + ".join(
+        f"length(regexp_extract_all(' ' || lower(text) || ' ', ' {w} '))"
+        for w in LANG_MARKERS["en"]
+    )
+    return f"""
+with feats as (
+  select doc_id,
+    length(text) as n_chars,
+    length(regexp_extract_all(text, '[^ \t\n\r]+')) as n_words,
+    length(regexp_extract_all(text, '[^A-Za-z0-9 \t\n\r]')) as n_punct,
+    ({stop_terms}) as n_stop
+  from documents
+)
+select doc_id, n_chars, n_words, n_punct,
+  round(n_punct * 1.0 / greatest(n_chars, 1), 6) as punct_ratio,
+  round(n_stop * 1.0 / greatest(n_words, 1), 6) as stopword_ratio
+from feats order by doc_id
+"""
+
+
+def _jaccard_sql() -> str:
+    n = JACCARD_N
+    return f"""
+with sh as (
+  select distinct doc_id as id, substr(text, s.b, {n}) as shingle
+  from documents,
+       unnest(generate_series(1, greatest(length(text) - {n - 1}, 1))) as s(b)
+  where length(substr(text, s.b, {n})) = {n}
+), sizes as (select id, count(*) as sz from sh group by 1),
+common as (
+  select a.id as id_a, b.id as id_b, count(*) as c
+  from sh a join sh b using (shingle) where a.id < b.id group by 1, 2
+)
+select id_a, id_b,
+  round(c * 1.0 / (sa.sz + sb.sz - c), 6) as jaccard
+from common
+join sizes sa on sa.id = id_a join sizes sb on sb.id = id_b
+where round(c * 1.0 / (sa.sz + sb.sz - c), 6) >= {JACCARD_T}
+order by id_a, id_b
+"""
+
+
+def _embedding_neardup_sql() -> str:
+    return f"""
+with v as (
+  select vec_id as id, list_transform(embedding, x -> cast(x as double)) as e
+  from embeddings
+)
+select a.id as id_a, b.id as id_b,
+  round(list_dot_product(a.e, b.e) /
+        (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 6)
+    as cosine
+from v a join v b on a.id < b.id
+where round(list_dot_product(a.e, b.e) /
+        (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 6)
+      >= {COS_T}
+order by id_a, id_b
+"""
+
+
+def _knn_sql() -> str:
+    return f"""
+with v as (
+  select vec_id as id, list_transform(embedding, x -> cast(x as double)) as e
+  from embeddings
+), scored as (
+  select q.id as query_id, n.id as neighbor_id,
+    round(list_dot_product(q.e, n.e) /
+          (sqrt(list_dot_product(q.e, q.e)) * sqrt(list_dot_product(n.e, n.e))), 6)
+      as cosine
+  from v q join v n on q.id <> n.id
+  where q.id < {KNN_NQ}
+), ranked as (
+  select query_id, neighbor_id, cosine,
+    row_number() over (partition by query_id
+                       order by cosine desc, neighbor_id asc) as rank
+  from scored
+)
+select query_id, neighbor_id, cosine, rank from ranked
+where rank <= {KNN_K} order by query_id, rank
+"""
+
+
+def _fingerprint_sql() -> str:
+    return f"""
+select doc_id,
+  list_reduce(
+    list_prepend(cast(0 as bigint),
+      list_transform(string_split(text, ''), c -> cast(ord(c) as bigint))),
+    (acc, x) -> (acc * {FP_BASE} + x) % {FP_MOD}
+  ) as fp
+from documents order by doc_id
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "mcod_outliers": _mcod_outliers_sql(),
+        "mcod_stats": _mcod_stats_sql(),
+        "col_stats_lineitem": _col_stats_sql(),
+        "null_profile_orders": """
+select count(*) as n_rows,
+  cast(sum(case when o_custkey is null then 1 else 0 end) as bigint) as o_custkey_nulls,
+  cast(sum(case when o_totalprice is null then 1 else 0 end) as bigint) as o_totalprice_nulls,
+  cast(sum(case when o_orderpriority is null then 1 else 0 end) as bigint) as o_orderpriority_nulls
+from orders
+""",
+        "uniqueness_orders": """
+select count(*) as n_rows,
+  count(distinct o_orderkey) as o_orderkey_distinct,
+  count(distinct o_custkey) as o_custkey_distinct,
+  count(*) - count(distinct o_orderkey) as o_orderkey_dups,
+  count(*) - count(distinct o_custkey) as o_custkey_dups
+from orders
+""",
+        "duplicate_custkeys": """
+select o_custkey, count(*) as n_dup from orders
+group by o_custkey having count(*) > 1 order by n_dup desc, o_custkey
+""",
+        "heavy_hitters_events": f"""
+select event_type as value, count(*) as n from events
+group by event_type having count(*) >= {HH_MIN} order by n desc, value
+""",
+        "referential_orphans": """
+select count(*) as n_orphans from lineitem
+where l_orderkey not in (select o_orderkey from orders)
+""",
+        "join_segment_revenue": """
+select c_mktsegment, count(*) as n_orders, round(sum(o_totalprice), 2) as revenue
+from orders join customer on o_custkey = c_custkey
+group by c_mktsegment order by c_mktsegment
+""",
+        "pricing_summary": """
+select l_returnflag, l_linestatus,
+  round(sum(l_quantity), 2) as sum_qty,
+  round(sum(l_extendedprice), 2) as sum_base_price,
+  round(sum(l_extendedprice * (1 - l_discount)), 2) as sum_disc_price,
+  round(avg(l_discount), 6) as avg_disc,
+  count(*) as count_order
+from lineitem group by l_returnflag, l_linestatus
+order by l_returnflag, l_linestatus
+""",
+        "window_hourly_events": """
+select strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') as hour_start,
+  event_type, count(*) as n, round(sum(value), 4) as sum_value
+from events group by 1, 2 order by hour_start, event_type
+""",
+        "exact_dups_documents": """
+select md5(text) as content_hash, count(*) as n_dup, min(doc_id) as min_id
+from documents group by 1 having count(*) > 1 order by n_dup desc, min_id
+""",
+        "jaccard_pairs_documents": _jaccard_sql(),
+        "embedding_neardup": _embedding_neardup_sql(),
+        "knn_bruteforce": _knn_sql(),
+        "lang_id_documents": _lang_id_sql(),
+        "quality_documents": _quality_sql(),
+        "token_counts_documents": """
+select doc_id,
+  length(regexp_extract_all(text, '[^ \t\n\r]+')) as n_ws_tokens,
+  length(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9 \t\n\r]')) as n_bpe_tokens
+from documents order by doc_id
+""",
+        "fingerprint_documents": _fingerprint_sql(),
+    }

@@ -7,6 +7,40 @@ via retainAll, recall = common/baseline) as semi-join counts.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def recall(baseline: DataFrame, test: DataFrame) -> DataFrame:
+    """One-row DataFrame: (n_baseline, n_test, n_common, recall, precision).
+
+    Declarative form of ``compare_outlier_sets`` (no driver-side counts) —
+    three tiny aggregates cross-joined; each side is a semi-join away from
+    the id sets, so the plan stays fully distributed.
+    """
+    base = baseline.agg(F.count(F.lit(1)).alias("n_baseline"))
+    tst = test.agg(F.count(F.lit(1)).alias("n_test"))
+    common = baseline.join(test, "id", "left_semi").agg(
+        F.count(F.lit(1)).alias("n_common")
+    )
+    return (
+        base.crossJoin(tst)
+        .crossJoin(common)
+        .select(
+            "n_baseline",
+            "n_test",
+            "n_common",
+            F.round(
+                F.when(F.col("n_baseline") > 0, F.col("n_common") / F.col("n_baseline"))
+                .otherwise(F.lit(1.0)),
+                6,
+            ).alias("recall"),
+            F.round(
+                F.when(F.col("n_test") > 0, F.col("n_common") / F.col("n_test"))
+                .otherwise(F.lit(1.0)),
+                6,
+            ).alias("precision"),
+        )
+    )
 
 
 def compare_outlier_sets(baseline: DataFrame, test: DataFrame) -> dict:

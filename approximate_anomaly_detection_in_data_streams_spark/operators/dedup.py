@@ -1,0 +1,305 @@
+"""Deduplication operators over document tables: exact, n-gram Jaccard,
+MinHash+LSH, SimHash, embedding-cosine near-dup.
+
+Training-data-pipeline superset (not present in the reference, which has no
+string data at all — SURVEY.md section 1.2); the LSH band-join here shares
+its shape with the detector's bucket equi-join (operators/lsh.py): turn a
+theta-join (similarity >= t) into candidate equi-join + exact post-filter.
+
+Scale notes (the 100 TB framing):
+  * exact_duplicates — one shuffle keyed on a 128-bit content hash; map-side
+    partial counts make the shuffle rows ~= #distinct texts;
+  * ngram-Jaccard — the shingle self-join explodes |doc| x shingles rows;
+    bounded by joining on shingle then pre-aggregating pair counts before
+    the Jaccard filter (classic "similarity join via inverted index").
+    Hot shingles (stop-shingles) are dropped via a document-frequency cap —
+    the same skew discipline as the north_rule demands;
+  * minhash — signatures are one pass (xxhash64 per shingle, min per perm);
+    banding turns candidate generation into an equi-join on (band, hash);
+  * simhash — 64-bit signature, near-dup iff hamming distance <= 3 via
+    4-piece pigeonhole equi-join (each piece is an exact-match key);
+  * embedding cosine — blockwise matmul inside applyInPandas for the
+    all-pairs small case; LSH-bucketed variant in operators/knn.py scales.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact duplicate groups by content hash (md5 — portable to the oracle).
+
+    Output: (content_hash, n_dup, min_id) for groups with >1 member,
+    ordered (n_dup desc, min_id) for determinism.
+    """
+    return (
+        df.select(F.md5(F.col(text_col)).alias("content_hash"), F.col(id_col).alias("id"))
+        .groupBy("content_hash")
+        .agg(F.count(F.lit(1)).alias("n_dup"), F.min("id").alias("min_id"))
+        .where(F.col("n_dup") > 1)
+        .orderBy(F.desc("n_dup"), "min_id")
+    )
+
+
+def char_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """Distinct character n-gram shingles per document: (id, shingle).
+
+    Pure JVM: sequence over start offsets + transform + explode; distinct
+    per (id, shingle). No Python in the path.
+    """
+    c = F.col(text_col)
+    # stop clamped to >=1: sequence(1,0) would run *descending* in Spark;
+    # the too-short shingle a 1-length sequence yields is filtered below.
+    starts = F.sequence(F.lit(1), F.greatest(F.length(c) - F.lit(n - 1), F.lit(1)))
+    sh = F.transform(starts, lambda i: c.substr(i, F.lit(n)))
+    return (
+        df.select(F.col(id_col).alias("id"), F.explode(sh).alias("shingle"))
+        .where(F.length("shingle") == n)
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """Document pairs with n-gram-shingle Jaccard >= threshold (exact).
+
+    Inverted-index similarity join: explode shingles, equi-join on shingle
+    with i<j to halve work, pre-aggregate common-shingle counts, then
+    |A ∪ B| = |A| + |B| - common. ``max_shingle_df`` drops shingles present
+    in more than that many documents (stop-shingle skew cap) — exact only
+    when left None; the capped variant is the at-scale path.
+    Output: (id_a, id_b, jaccard) ordered by (id_a, id_b).
+    """
+    sh = char_shingles(df, id_col, text_col, n)
+    if max_shingle_df is not None:
+        rare = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .where(F.col("df") <= max_shingle_df)
+            .select("shingle")
+        )
+        sh = sh.join(F.broadcast(rare), "shingle")
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.select(F.col("id").alias("id_a"), "shingle")
+    b = sh.select(F.col("id").alias("id_b"), "shingle")
+    common = (
+        a.join(b, "shingle")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    sz_a = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"))
+    sz_b = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"))
+    jac = F.col("common") / (F.col("sz_a") + F.col("sz_b") - F.col("common"))
+    return (
+        common.join(sz_a, "id_a")
+        .join(sz_b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(jac, 6).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .orderBy("id_a", "id_b")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, num_perm: int = 64, seed: int = 42
+) -> DataFrame:
+    """MinHash signatures: (id, sig ARRAY<BIGINT>[num_perm]).
+
+    One xxhash64 per (shingle, perm-seed), min per perm — all JVM built-ins
+    via transform over a literal seed array; the groupBy(id) min-aggregates
+    map-side. Deterministic under ``seed``.
+    """
+    sh = char_shingles(df, id_col, text_col, n)
+    seeds = F.array(*[F.lit(seed + p) for p in range(num_perm)])
+    hashed = sh.select(
+        "id",
+        F.transform(seeds, lambda s: F.xxhash64(F.col("shingle"), s)).alias("hs"),
+    )
+    mins = [F.min(F.col("hs")[p]).alias(f"h{p}") for p in range(num_perm)]
+    agg = hashed.groupBy("id").agg(*mins)
+    return agg.select("id", F.array(*[f"h{p}" for p in range(num_perm)]).alias("sig"))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_perm: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-dup candidate pairs via MinHash banding + exact Jaccard verify.
+
+    bands x rows layout (rows = num_perm / bands); a pair is a candidate iff
+    some band's row-slice hashes collide — an equi-join on (band, band_hash),
+    which is the scalable path (no all-pairs). Candidates are then verified
+    with the exact shingle Jaccard (so output precision is 1.0; banding only
+    affects recall).
+    Output: (id_a, id_b, jaccard) ordered.
+    """
+    rows = num_perm // bands
+    sig = minhash_signatures(df, id_col, text_col, n, num_perm, seed)
+    banded = sig.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bnd).alias("band"),
+                        F.xxhash64(
+                            *[F.col("sig")[bnd * rows + r] for r in range(rows)]
+                        ).alias("bh"),
+                    )
+                    for bnd in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("id", "bk.band", "bk.bh")
+    cand = (
+        banded.alias("x")
+        .join(banded.alias("y"), ["band", "bh"])
+        .where(F.col("x.id") < F.col("y.id"))
+        .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
+        .distinct()
+    )
+    exact = ngram_jaccard_pairs(df, id_col, text_col, n, threshold=0.0)
+    return (
+        cand.join(exact, ["id_a", "id_b"])
+        .where(F.col("jaccard") >= threshold)
+        .orderBy("id_a", "id_b")
+    )
+
+
+def simhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, seed: int = 42
+) -> DataFrame:
+    """64-bit SimHash per document from char-shingle hashes (JVM-only).
+
+    Bit b of the signature is 1 iff more shingles hash with bit b set than
+    not. Computed as 64 conditional sums over the exploded shingle table —
+    one groupBy(id), map-side combinable.
+    """
+    sh = char_shingles(df, id_col, text_col, n).select(
+        "id", F.xxhash64("shingle", F.lit(seed)).alias("h")
+    )
+    bit_sums = [
+        F.sum(
+            F.when(
+                F.shiftrightunsigned(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1
+            ).otherwise(-1)
+        ).alias(f"b{b}")
+        for b in range(64)
+    ]
+    agg = sh.groupBy("id").agg(*bit_sums)
+    sig = F.lit(0).cast("long")
+    for b in range(63):  # skip the sign bit to stay in non-negative longs
+        sig = sig + F.when(F.col(f"b{b}") > 0, F.lit(1 << b)).otherwise(0)
+    return agg.select("id", sig.alias("simhash"))
+
+
+def simhash_neardup_pairs(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3, seed: int = 42
+) -> DataFrame:
+    """Pairs with SimHash hamming distance <= max_hamming.
+
+    Pigeonhole: split 64 bits into (max_hamming+1) pieces; any pair within
+    distance d must match exactly on >= one piece — candidates come from
+    equi-joins on (piece_idx, piece_value), then exact popcount verify.
+    Output: (id_a, id_b, hamming).
+    """
+    pieces = max_hamming + 1
+    width = 64 // pieces
+    sig = simhash_signatures(df, id_col, text_col, seed=seed)
+    piece_arr = F.array(
+        *[
+            F.struct(
+                F.lit(p).alias("p"),
+                F.shiftrightunsigned(F.col("simhash"), p * width)
+                .bitwiseAND(F.lit((1 << width) - 1))
+                .alias("v"),
+            )
+            for p in range(pieces)
+        ]
+    )
+    keyed = sig.select("id", "simhash", F.explode(piece_arr).alias("pk")).select(
+        "id", "simhash", "pk.p", "pk.v"
+    )
+    cand = (
+        keyed.alias("x")
+        .join(keyed.alias("y"), ["p", "v"])
+        .where(F.col("x.id") < F.col("y.id"))
+        .select(
+            F.col("x.id").alias("id_a"),
+            F.col("y.id").alias("id_b"),
+            F.col("x.simhash").alias("sa"),
+            F.col("y.simhash").alias("sb"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
+    return (
+        cand.select("id_a", "id_b", hamming.alias("hamming"))
+        .where(F.col("hamming") <= max_hamming)
+        .orderBy("id_a", "id_b")
+    )
+
+
+def embedding_neardup_pairs(
+    df: DataFrame, id_col: str, vec_col: str, threshold: float = 0.95
+) -> DataFrame:
+    """All pairs with cosine similarity >= threshold (exact, blockwise).
+
+    Single-group applyInPandas with chunked NumPy matmul for the test-scale
+    path; the at-scale variant buckets by LSH sign-projections first
+    (operators/knn.py) so each task sees one bucket. Output:
+    (id_a, id_b, cosine) rounded to 6, ordered.
+    """
+    pdf_schema = "id_a long, id_b long, cosine double"
+
+    def emit(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["id"].to_numpy()
+        X = np.stack(pdf["vec"].to_numpy()).astype(np.float64)
+        norms = np.linalg.norm(X, axis=1)
+        norms[norms == 0] = 1.0
+        Xn = X / norms[:, None]
+        out_a, out_b, out_c = [], [], []
+        chunk = 2048
+        for s in range(0, len(ids), chunk):
+            block = Xn[s : s + chunk] @ Xn.T
+            ai, bj = np.nonzero(block >= threshold)
+            keep = (ai + s) < bj
+            out_a.append(ids[ai[keep] + s])
+            out_b.append(ids[bj[keep]])
+            out_c.append(block[ai[keep], bj[keep]])
+        if not out_a:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []}).astype(
+                {"id_a": "int64", "id_b": "int64", "cosine": "float64"}
+            )
+        return pd.DataFrame(
+            {
+                "id_a": np.concatenate(out_a),
+                "id_b": np.concatenate(out_b),
+                "cosine": np.round(np.concatenate(out_c), 6),
+            }
+        )
+
+    base = df.select(
+        F.col(id_col).cast("long").alias("id"), F.col(vec_col).alias("vec")
+    ).withColumn("g", F.lit(0))
+    return base.groupBy("g").applyInPandas(emit, pdf_schema).orderBy("id_a", "id_b")
