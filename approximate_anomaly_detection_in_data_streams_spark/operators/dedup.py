@@ -143,20 +143,36 @@ def minhash_lsh_pairs(
     bands: int = 16,
     threshold: float = 0.5,
     seed: int = 42,
+    bucket_cap: int | None = 500,
+    est_margin: float = 0.15,
 ) -> DataFrame:
     """Near-dup candidate pairs via MinHash banding + exact Jaccard verify.
 
     bands x rows layout (rows = num_perm / bands); a pair is a candidate iff
     some band's row-slice hashes collide — an equi-join on (band, band_hash),
-    which is the scalable path (no all-pairs). Candidates are then verified
-    with the exact shingle Jaccard (so output precision is 1.0; banding only
-    affects recall).
+    which is the scalable path (no all-pairs). Two skew defenses keep hot
+    bands bounded on corpora where many documents are mutually similar:
+
+      * ``bucket_cap``: each (band, band_hash) bucket keeps at most this
+        many members, chosen by deterministic seeded hash order — the same
+        bounded-bucket approximation the reference applies under pressure
+        (/root/reference/src/core/lsh/HashTable.java:22-35, made
+        deterministic per SURVEY.md section 5);
+      * signature-estimate pre-filter: candidates whose fraction of equal
+        minhash components falls below ``threshold - est_margin`` are
+        dropped before the (expensive) exact shingle join.
+
+    Surviving candidates are verified with the exact shingle Jaccard, so
+    output precision is 1.0; banding/cap/estimate only affect recall.
     Output: (id_a, id_b, jaccard) ordered.
     """
+    from pyspark.sql.window import Window
+
     rows = num_perm // bands
     sig = minhash_signatures(df, id_col, text_col, n, num_perm, seed)
     banded = sig.select(
         "id",
+        "sig",
         F.explode(
             F.array(
                 *[
@@ -170,17 +186,53 @@ def minhash_lsh_pairs(
                 ]
             )
         ).alias("bk"),
-    ).select("id", "bk.band", "bk.bh")
+    ).select("id", "sig", "bk.band", "bk.bh")
+    if bucket_cap is not None:
+        w = Window.partitionBy("band", "bh").orderBy(F.xxhash64("id", F.lit(seed)))
+        banded = (
+            banded.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") <= bucket_cap)
+            .drop("_rn")
+        )
+    x = banded.select(
+        F.col("id").alias("id_a"), F.col("sig").alias("sig_a"), "band", "bh"
+    )
+    y = banded.select(
+        F.col("id").alias("id_b"), F.col("sig").alias("sig_b"), "band", "bh"
+    )
+    est = F.aggregate(
+        F.zip_with("sig_a", "sig_b", lambda a, b: (a == b).cast("int")),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    ) / F.lit(num_perm)
     cand = (
-        banded.alias("x")
-        .join(banded.alias("y"), ["band", "bh"])
-        .where(F.col("x.id") < F.col("y.id"))
-        .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
+        x.join(y, ["band", "bh"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .where(est >= F.lit(threshold - est_margin))
+        .select("id_a", "id_b")
         .distinct()
     )
-    exact = ngram_jaccard_pairs(df, id_col, text_col, n, threshold=0.0)
+    # Verify candidates only: join each side to its shingle *set* and take
+    # array_intersect — work is O(#candidates x shingles/doc), never the
+    # all-pairs inverted-index blow-up (hot shingles would make that
+    # sum(df^2) at corpus scale).
+    shingle_sets = (
+        char_shingles(df, id_col, text_col, n)
+        .groupBy("id")
+        .agg(F.collect_set("shingle").alias("sh"))
+    )
+    sa = shingle_sets.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    sb = shingle_sets.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
     return (
-        cand.join(exact, ["id_a", "id_b"])
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(inter / union, 6).alias("jaccard"),
+        )
         .where(F.col("jaccard") >= threshold)
         .orderBy("id_a", "id_b")
     )

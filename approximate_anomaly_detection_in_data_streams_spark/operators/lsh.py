@@ -79,52 +79,115 @@ def with_bucket_keys(
     return points.withColumn("buckets", bucket_keys("features"))
 
 
-def lsh_neighbor_pairs(points_with_slide: DataFrame, cfg: DetectorConfig) -> DataFrame:
+def lsh_neighbor_pairs(
+    points_with_slide: DataFrame,
+    cfg: DetectorConfig,
+    bucket_cap: int | None = None,
+) -> DataFrame:
     """Approximate neighbor pairs: bucket-collision candidates, exact post-filter.
 
     Same output contract as ``exact_neighbor_pairs`` (both directions), but a
     pair appears only if the two points collide in >= 1 of the L tables while
-    co-windowed. Group key is (table, bucket_key, id-block), so a skewed
-    bucket is still bounded at <= 2W points per task; the cross-table
-    duplicate candidates are removed with dropDuplicates on (i, j).
-    """
-    dim = len(points_with_slide.select("features").first()[0])
-    ws = cfg.ws
-    r2 = float(cfg.r) ** 2
-    max_gap = ws - 1
+    co-windowed. Fully JVM-side after key generation:
 
-    keyed = with_bucket_keys(points_with_slide, cfg, dim)
-    exploded = keyed.select(
+      1. equi-join the (table, key, id-block)-exploded point table with
+         itself — the block of W/S consecutive slides is part of the join
+         key (points co-window only within the same or adjacent block, so
+         the right side fans to its own and previous block), which bounds
+         every join group at <= 2W points even for hot buckets; the exact
+         band |slide_i - slide_j| <= W/S - 1 is a post-filter;
+      2. dedupe candidate id pairs across tables *before* any distance work
+         (the reference's HashSet union, /root/reference/src/core/lsh/
+         LSHIndex.java:33-44) — this is the big win over filtering first:
+         each surviving pair's distance is computed exactly once;
+      3. re-attach the feature vectors by id join and filter with the exact
+         Euclidean predicate via zip_with/aggregate (whole-stage codegen,
+         no Python round-trip).
+
+    ``bucket_cap`` optionally bounds each (table, key) bucket by seeded-hash
+    order — the deterministic analog of the reference's bucket eviction
+    (/root/reference/src/core/lsh/HashTable.java:22-35); dropped members can
+    only lower neighbor counts, so capped output stays a superset of what a
+    capped reference table would produce.
+    """
+    from pyspark.sql.window import Window
+
+    dim = len(points_with_slide.select("features").first()[0])
+    max_gap = cfg.ws - 1
+    r2 = float(cfg.r) ** 2
+
+    keyed = with_bucket_keys(points_with_slide, cfg, dim).select(
         "id",
-        "features",
         "slide",
         F.posexplode("buckets").alias("t", "key"),
-        (((F.col("slide") - 1) / F.lit(ws)).cast("long")).alias("g"),
+        (((F.col("slide") - 1) / F.lit(cfg.ws)).cast("long")).alias("g"),
     )
-    fanned = exploded.withColumn("is_home", F.lit(True)).unionByName(
-        exploded.withColumn("g", F.col("g") - 1)
-        .withColumn("is_home", F.lit(False))
+    if bucket_cap is not None:
+        w = Window.partitionBy("t", "key", "g").orderBy(
+            F.xxhash64("id", F.lit(cfg.seed))
+        )
+        keyed = (
+            keyed.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") <= bucket_cap)
+            .drop("_rn")
+        )
+    x = keyed.select(
+        F.col("id").alias("i"), F.col("slide").alias("slide_i"), "t", "key", "g"
+    )
+    # right side appears under its own block (home) and the previous block
+    # (guest): co-windowed pairs are same-block (i<j dedupes the double
+    # match) or adjacent-block (guest row joins the earlier block exactly
+    # once).
+    y_home = keyed.select(
+        F.col("id").alias("j"),
+        F.col("slide").alias("slide_j"),
+        "t",
+        "key",
+        "g",
+        F.lit(True).alias("home_j"),
+    )
+    y_guest = (
+        keyed.select(
+            F.col("id").alias("j"),
+            F.col("slide").alias("slide_j"),
+            "t",
+            "key",
+            (F.col("g") - 1).alias("g"),
+            F.lit(False).alias("home_j"),
+        )
         .where(F.col("g") >= 0)
     )
-
-    empty = pd.DataFrame(
-        {
-            "i": pd.Series(dtype="int64"),
-            "j": pd.Series(dtype="int64"),
-            "slide_i": pd.Series(dtype="int64"),
-            "slide_j": pd.Series(dtype="int64"),
-        }
+    y = y_home.unionByName(y_guest)
+    cand = (
+        x.join(y, ["t", "key", "g"])
+        .where(
+            (
+                (F.col("home_j") & (F.col("i") < F.col("j")))
+                | (~F.col("home_j"))
+            )
+            & (F.abs(F.col("slide_i") - F.col("slide_j")) <= max_gap)
+        )
+        .select("i", "j", "slide_i", "slide_j")
+        .dropDuplicates(["i", "j"])
     )
-
-    def emit(pdf: pd.DataFrame) -> pd.DataFrame:
-        if len(pdf) < 2:
-            return empty
-        order = np.argsort(pdf["id"].to_numpy())
-        ids = pdf["id"].to_numpy()[order]
-        slides = pdf["slide"].to_numpy()[order]
-        home = pdf["is_home"].to_numpy()[order]
-        X = np.stack(pdf["features"].to_numpy()[order]).astype(np.float64)
-        return _pairwise_emit(X, ids, slides, home, r2, max_gap)
-
-    pairs = fanned.groupBy("t", "key", "g").applyInPandas(emit, PAIR_SCHEMA)
-    return pairs.dropDuplicates(["i", "j"])
+    feats = points_with_slide.select("id", "features")
+    fi = feats.select(F.col("id").alias("i"), F.col("features").alias("f_i"))
+    fj = feats.select(F.col("id").alias("j"), F.col("features").alias("f_j"))
+    d2 = F.aggregate(
+        F.zip_with("f_i", "f_j", lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    pairs = (
+        cand.join(fi, "i")
+        .join(fj, "j")
+        .where(d2 <= F.lit(r2))
+        .select("i", "j", "slide_i", "slide_j")
+    )
+    reverse = pairs.select(
+        F.col("j").alias("i"),
+        F.col("i").alias("j"),
+        F.col("slide_j").alias("slide_i"),
+        F.col("slide_i").alias("slide_j"),
+    )
+    return pairs.unionByName(reverse)
