@@ -282,6 +282,55 @@ def q_fingerprint_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", fingerprint("text").alias("fp")).orderBy("doc_id")
 
 
+# ---- image validator (north_star pipeline; synthetic table per
+# BASELINE.json input_hint — no external data; rows-only checks since
+# DuckDB has no image codec) ----
+
+IMG_N = 2000
+
+
+def _image_cfg():
+    from approximate_anomaly_detection_in_data_streams_spark.sources.images import (
+        ImageTableConfig,
+    )
+
+    return ImageTableConfig(n=IMG_N, seed=7, partitions=16)
+
+
+def _image_report(spark: SparkSession):
+    from approximate_anomaly_detection_in_data_streams_spark.sources.images import (
+        generate_images,
+        generate_reference,
+    )
+    from approximate_anomaly_detection_in_data_streams_spark.validator import (
+        ImageValidatorConfig,
+        validate_images,
+    )
+
+    cfg = _image_cfg()
+    vcfg = ImageValidatorConfig(
+        drift=DetectorConfig(w=200, slide=50, r=40.0, k=6)
+    )
+    return validate_images(
+        generate_images(spark, cfg), generate_reference(spark, cfg), vcfg
+    )
+
+
+def q_image_partition_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-fmt pass/fail verdicts over the synthetic image+caption table."""
+    return _image_report(spark).partition_verdicts
+
+
+def q_image_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All violation rows (row invariants, point anomalies, phash dups)."""
+    return _image_report(spark).violations.orderBy("image_id", "kind")
+
+
+def q_image_drift_slides(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-slide sustained-drift profile check."""
+    return _image_report(spark).drift_slides
+
+
 # ---- driver surface ----
 
 
@@ -316,6 +365,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_documents": q_quality_documents,
         "token_counts_documents": q_token_counts_documents,
         "fingerprint_documents": q_fingerprint_documents,
+        "image_partition_verdicts": q_image_partition_verdicts,
+        "image_violations": q_image_violations,
+        "image_drift_slides": q_image_drift_slides,
     }
 
 

@@ -1,0 +1,222 @@
+"""Schema + constraint validation engine over image+caption tables — the
+north_star pipeline (BASELINE.json): per-partition column stats,
+approximate uniqueness, referential checks, per-row decoded-pixel + caption
+invariants, and distribution-drift detection powered by the windowed
+distance-outlier core (the reference's algorithm re-expressed in Spark,
+SURVEY.md §7 M3).
+
+Stage map (one DataFrame lineage each; all lazily composable):
+
+  schema        analysis-time StructType comparison (no job run)
+  stats         groupBy(fmt) column profile (operators/profile.py)
+  uniqueness    exact/HLL distinct on image_id; phash duplicate groups
+  referential   anti-join orphans vs a reference snapshot (broadcast/salted)
+  row_checks    mapInPandas decode + PSNR>=40dB + caption equality
+  anomalies     image_features -> MCOD-semantics windowed outliers
+                (isolated point anomalies — the reference's semantics)
+  drift         per-slide feature-profile L1 distance vs the global
+                profile (sustained distribution shift self-neighbors
+                inside the sliding window, so a distance-based detector
+                correctly does NOT flag it; this check does)
+  verdicts      per-partition (fmt) pass/fail + violation rows
+
+The per-partition verdict generalizes the reference's single pass/fail
+console verdict (/root/reference/src/Executor.java:239-260) to a keyed
+DataFrame; violation rows generalize its outlier-id file sink
+(/root/reference/src/Executor.java:209-222).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .config import DetectorConfig
+from .operators import profile as profile_ops
+from .operators.detector import detect
+from .operators.image_checks import image_features, row_checks
+
+EXPECTED_SCHEMA = T.StructType(
+    [
+        T.StructField("image_id", T.StringType()),
+        T.StructField("bytes", T.BinaryType()),
+        T.StructField("w", T.IntegerType()),
+        T.StructField("h", T.IntegerType()),
+        T.StructField("fmt", T.StringType()),
+        T.StructField("caption", T.StringType()),
+        T.StructField("phash", T.LongType()),
+    ]
+)
+
+
+@dataclass(frozen=True)
+class ImageValidatorConfig:
+    partition_col: str = "fmt"
+    phash_dup_limit: int = 1  # >limit rows sharing a phash -> near-dup group
+    max_violation_rate: float = 0.05  # partition fails above this
+    exact_uniqueness: bool = True  # False -> HLL (the 10^12-row path)
+    drift: DetectorConfig = field(
+        default_factory=lambda: DetectorConfig(w=400, slide=100, r=60.0, k=8)
+    )
+    drift_slide_size: int = 50  # rows per slide for the profile-drift check
+    drift_l1_limit: float = 25.0  # max L1(slide profile, global profile)
+
+
+@dataclass
+class ValidationReport:
+    """Lazy DataFrames per stage + the analysis-time schema verdict."""
+
+    schema_ok: bool
+    schema_errors: list[str]
+    partition_stats: DataFrame
+    uniqueness: DataFrame
+    phash_dups: DataFrame
+    row_checks: DataFrame
+    anomaly_outliers: DataFrame
+    drift_slides: DataFrame
+    violations: DataFrame
+    partition_verdicts: DataFrame
+
+
+def check_schema(df: DataFrame) -> tuple[bool, list[str]]:
+    """Analysis-time structural check — no Spark job, just the plan."""
+    errors = []
+    actual = {f.name: f.dataType for f in df.schema.fields}
+    for f in EXPECTED_SCHEMA.fields:
+        if f.name not in actual:
+            errors.append(f"missing column {f.name}")
+        elif actual[f.name] != f.dataType:
+            errors.append(
+                f"column {f.name}: expected {f.dataType.simpleString()}, "
+                f"got {actual[f.name].simpleString()}"
+            )
+    return (not errors, errors)
+
+
+def validate_images(
+    images: DataFrame,
+    reference: DataFrame | None = None,
+    cfg: ImageValidatorConfig | None = None,
+) -> ValidationReport:
+    """Assemble the full validation lineage. Nothing executes until a sink
+    pulls a stage; ``checkpoint.run_validation`` drives stages per
+    partition with resume."""
+    cfg = cfg or ImageValidatorConfig()
+    part = cfg.partition_col
+
+    schema_ok, schema_errors = check_schema(images)
+
+    stats = profile_ops.column_stats(
+        images.withColumn("n_bytes", F.length("bytes").cast("long")),
+        [part],
+        ["w", "h", "n_bytes"],
+    )
+    uniq = profile_ops.uniqueness(images, ["image_id"], exact=cfg.exact_uniqueness)
+    phash_dups = (
+        images.groupBy("phash")
+        .agg(
+            F.count(F.lit(1)).alias("n_dup"),
+            F.sort_array(F.collect_set("image_id")).alias("members"),
+        )
+        .where(F.col("n_dup") > cfg.phash_dup_limit)
+        .orderBy(F.desc("n_dup"), "phash")
+    )
+    checks = row_checks(images, reference)
+
+    feats = image_features(images)
+    points = feats.select((F.col("ordinal") + 1).alias("id"), "features")
+    det = detect(points, cfg.drift).outliers  # column: id (= ordinal + 1)
+    anomaly_outliers = (
+        det.join(
+            feats.select((F.col("ordinal") + 1).alias("id"), "image_id"), "id"
+        )
+        .select("image_id", (F.col("id") - 1).alias("ordinal"))
+        .orderBy("ordinal")
+    )
+    drift_slides = profile_drift_slides(
+        feats, cfg.drift_slide_size, cfg.drift_l1_limit
+    )
+
+    row_violations = checks.where("is_violation").select(
+        "image_id", F.lit("row_invariant").alias("kind"), F.col("reason").alias("detail")
+    )
+    anomaly_violations = anomaly_outliers.select(
+        "image_id",
+        F.lit("point_anomaly").alias("kind"),
+        F.concat(F.lit("ordinal="), F.col("ordinal").cast("string")).alias("detail"),
+    )
+    dup_violations = phash_dups.select(
+        F.explode("members").alias("image_id"),
+        F.lit("phash_dup").alias("kind"),
+        F.concat(F.lit("group_size="), F.col("n_dup").cast("string")).alias("detail"),
+    )
+    violations = row_violations.unionByName(anomaly_violations).unionByName(
+        dup_violations
+    )
+
+    per_part = checks.groupBy("fmt").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("is_violation").cast("long")).alias("n_row_violations"),
+    )
+    verdicts = per_part.select(
+        "fmt",
+        "n_rows",
+        "n_row_violations",
+        F.round(F.col("n_row_violations") / F.col("n_rows"), 6).alias(
+            "violation_rate"
+        ),
+        (
+            (F.col("n_row_violations") / F.col("n_rows"))
+            <= F.lit(cfg.max_violation_rate)
+        ).alias("passed"),
+    ).orderBy("fmt")
+
+    return ValidationReport(
+        schema_ok=schema_ok,
+        schema_errors=schema_errors,
+        partition_stats=stats,
+        uniqueness=uniq,
+        phash_dups=phash_dups,
+        row_checks=checks,
+        anomaly_outliers=anomaly_outliers,
+        drift_slides=drift_slides,
+        violations=violations,
+        partition_verdicts=verdicts,
+    )
+
+
+def profile_drift_slides(
+    feats: DataFrame, slide_size: int, l1_limit: float
+) -> DataFrame:
+    """Per-slide distribution-drift check (sustained-shift detector).
+
+    Mean feature profile per slide of ``slide_size`` consecutive ordinals,
+    compared to the global mean profile by L1 distance. All JVM: posexplode
+    the feature array, one two-level aggregation, a broadcast join of the
+    (tiny) global profile. Output: (slide, n_rows, l1, drifted) per slide.
+    """
+    dims = feats.select(
+        (F.col("ordinal") / F.lit(slide_size)).cast("long").alias("slide"),
+        F.posexplode("features").alias("dim", "v"),
+    )
+    per_slide = dims.groupBy("slide", "dim").agg(
+        F.avg("v").alias("slide_mean"), F.count(F.lit(1)).alias("n")
+    )
+    global_profile = dims.groupBy("dim").agg(F.avg("v").alias("global_mean"))
+    l1 = (
+        per_slide.join(F.broadcast(global_profile), "dim")
+        .groupBy("slide")
+        .agg(
+            F.sum(F.abs(F.col("slide_mean") - F.col("global_mean"))).alias("l1"),
+            F.max("n").alias("n_rows"),
+        )
+    )
+    return l1.select(
+        "slide",
+        "n_rows",
+        F.round("l1", 4).alias("l1"),
+        (F.col("l1") > F.lit(l1_limit)).alias("drifted"),
+    ).orderBy("slide")

@@ -1,0 +1,216 @@
+"""Image-table validator tests: codec invariants, planted-violation recall,
+drift detection, and checkpoint/resume."""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+
+import numpy as np
+import pytest
+
+from approximate_anomaly_detection_in_data_streams_spark.checkpoint import (
+    load_ledger,
+    run_validation,
+)
+from approximate_anomaly_detection_in_data_streams_spark.config import DetectorConfig
+from approximate_anomaly_detection_in_data_streams_spark.functions import (
+    image_codec as codec,
+)
+from approximate_anomaly_detection_in_data_streams_spark.sources.images import (
+    ImageTableConfig,
+    generate_images,
+    generate_reference,
+)
+from approximate_anomaly_detection_in_data_streams_spark.validator import (
+    ImageValidatorConfig,
+    check_schema,
+    validate_images,
+)
+
+CFG = ImageTableConfig(n=1200, seed=7, partitions=8)
+
+
+# ---- codec unit tests (no Spark) ----
+
+
+def test_raw_roundtrip_lossless():
+    px = codec.synth_pixels(1, 2, 32, 16)
+    assert np.array_equal(codec.decode(codec.encode_raw(px)), px)
+
+
+def test_qnt_roundtrip_psnr_above_40db():
+    for idx in range(20):
+        px = codec.synth_pixels(3, idx, 64, 32)
+        rec = codec.decode(codec.encode_qnt(px))
+        assert codec.psnr(px, rec) >= 40.0
+
+
+def test_decode_rejects_truncation_and_bad_magic():
+    px = codec.synth_pixels(1, 1, 16, 16)
+    data = codec.encode_raw(px)
+    with pytest.raises(codec.DecodeError):
+        codec.decode(data[: len(data) // 2])
+    with pytest.raises(codec.DecodeError):
+        codec.decode(b"XXXX" + data[4:])
+
+
+def test_average_hash_stable_and_discriminative():
+    a = codec.synth_pixels(5, 10, 32, 32)
+    b = codec.synth_pixels(5, 11, 32, 32)
+    assert codec.average_hash(a) == codec.average_hash(a.copy())
+    assert codec.average_hash(a) != codec.average_hash(b)
+    assert 0 <= codec.average_hash(a) < 2**63
+
+
+# ---- generator + validator ----
+
+
+@pytest.fixture(scope="module")
+def labeled(spark):
+    df = generate_images(spark, CFG, include_labels=True).cache()
+    df.count()
+    yield df
+    df.unpersist()
+
+
+@pytest.fixture(scope="module")
+def report(spark, labeled):
+    ref = generate_reference(spark, CFG)
+    vcfg = ImageValidatorConfig(
+        drift=DetectorConfig(w=200, slide=50, r=40.0, k=6)
+    )
+    return validate_images(labeled.drop(*[c for c in labeled.columns if c.startswith("_")]), ref, vcfg), vcfg
+
+
+def test_generator_schema_and_determinism(spark):
+    df = generate_images(spark, CFG)
+    ok, errors = check_schema(df)
+    assert ok, errors
+    a = sorted(
+        (r.image_id, r.phash, len(r.bytes))
+        for r in generate_images(spark, ImageTableConfig(n=50, seed=9)).collect()
+    )
+    b = sorted(
+        (r.image_id, r.phash, len(r.bytes))
+        for r in generate_images(spark, ImageTableConfig(n=50, seed=9)).collect()
+    )
+    assert a == b
+
+
+def test_row_checks_catch_planted_violations(spark, labeled, report):
+    rep, _ = report
+    flagged = {r.image_id for r in rep.row_checks.where("is_violation").collect()}
+    truth = labeled.select("image_id", "_is_corrupt", "_caption_bad").collect()
+    corrupt = {r.image_id for r in truth if r._is_corrupt}
+    caption_bad = {r.image_id for r in truth if r._caption_bad}
+    assert corrupt, "generator must plant corrupt rows at this n"
+    assert caption_bad
+    # every planted corruption/caption error is flagged
+    assert corrupt <= flagged
+    assert caption_bad <= flagged
+    # flagged rows beyond the planted ones can only come from ambiguous
+    # duplicate image_ids (two rows share the id -> reference join is
+    # ambiguous for both)
+    dup_ids = {
+        r.image_id
+        for r in labeled.groupBy("image_id").count().where("count > 1").collect()
+    }
+    unexplained = flagged - corrupt - caption_bad - dup_ids
+    assert not unexplained, f"false positives: {sorted(unexplained)[:5]}"
+
+
+def test_phash_dups_catch_planted_copies(spark, labeled, report):
+    rep, _ = report
+    groups = rep.phash_dups.collect()
+    dup_rows = labeled.where("_is_dup and not _is_corrupt").collect()
+    assert dup_rows
+    flagged_members = {m for g in groups for m in g.members}
+    found = sum(1 for r in dup_rows if r.image_id in flagged_members)
+    # most planted copies are found (copies of a *drifted* source stored
+    # lossy may hash off by a bit; phash equality is the exact-dup check)
+    assert found >= 0.7 * len(dup_rows)
+
+
+def test_anomaly_outliers_catch_planted_anomalies(spark, labeled, report):
+    rep, _ = report
+    out = {r.image_id for r in rep.anomaly_outliers.collect()}
+    assert out, "anomaly stage found nothing"
+    anomalies = {
+        r.image_id
+        for r in labeled.where("_is_anomaly and not _is_corrupt").collect()
+    }
+    assert anomalies, "generator must plant anomalies at this n"
+    found = len(anomalies & out)
+    assert found / len(anomalies) >= 0.8, f"recall {found}/{len(anomalies)}"
+    assert len(out & anomalies) / len(out) >= 0.6, (
+        f"precision {len(out & anomalies)}/{len(out)}"
+    )
+
+
+def test_drift_slides_flag_sustained_shift(spark, labeled, report):
+    rep, vcfg = report
+    slides = {r.slide: r for r in rep.drift_slides.collect()}
+    drifted_ords = [r._ordinal for r in labeled.where("_is_drifted").collect()]
+    lo, hi = min(drifted_ords), max(drifted_ords)
+    ss = vcfg.drift_slide_size
+    fully_inside = {
+        s for s in slides if s * ss >= lo and (s + 1) * ss - 1 <= hi
+    }
+    assert fully_inside, "drift segment must cover at least one full slide"
+    for s in fully_inside:
+        assert slides[s].drifted, f"slide {s} inside drift range not flagged"
+    outside = {s for s in slides if (s + 1) * ss - 1 < lo or s * ss > hi}
+    false_pos = [s for s in outside if slides[s].drifted]
+    assert not false_pos, f"clean slides flagged: {false_pos}"
+
+
+def test_partition_verdicts_cover_all_fmts(spark, report):
+    rep, _ = report
+    rows = {r.fmt: r for r in rep.partition_verdicts.collect()}
+    assert set(rows) == {"raw", "qnt", "jpeg"}
+    for r in rows.values():
+        assert r.n_rows > 0
+        assert 0.0 <= r.violation_rate <= 1.0
+
+
+def test_schema_check_flags_missing_and_wrong_type(spark):
+    df = generate_images(spark, ImageTableConfig(n=10))
+    bad = df.drop("phash").withColumn("w", df.w.cast("string"))
+    ok, errors = check_schema(bad)
+    assert not ok
+    assert any("phash" in e for e in errors)
+    assert any("w" in e for e in errors)
+
+
+# ---- checkpoint/resume ----
+
+
+def test_run_validation_resumes_without_rework(spark, tmp_path):
+    cfg = ImageTableConfig(n=400, seed=11, partitions=4)
+    vcfg = ImageValidatorConfig(drift=DetectorConfig(w=100, slide=25, r=40.0, k=4))
+    images = generate_images(spark, cfg)
+    ref = generate_reference(spark, cfg)
+    ck = str(tmp_path / "ck")
+
+    ledger1 = run_validation(spark, images, ck, reference=ref, cfg=vcfg)
+    assert set(ledger1) == {"raw", "qnt", "jpeg"}
+    stamps1 = {k: v.finished_at for k, v in ledger1.items()}
+
+    # second run: everything skipped (markers + matching fingerprints)
+    ledger2 = run_validation(spark, images, ck, reference=ref, cfg=vcfg)
+    assert {k: v.finished_at for k, v in ledger2.items()} == stamps1
+
+    # kill simulation: drop one partition's marker -> only it re-runs
+    victim = "qnt"
+    marker = glob.glob(os.path.join(ck, "partitions", "*", "_DONE.json"))
+    target = [m for m in marker if json.load(open(m))["partition"] == victim]
+    os.remove(target[0])
+    ledger3 = run_validation(spark, images, ck, reference=ref, cfg=vcfg)
+    assert ledger3[victim].finished_at > stamps1[victim]
+    for k in ledger3:
+        if k != victim:
+            assert ledger3[k].finished_at == stamps1[k]
+    # ledger reload from disk agrees
+    assert set(load_ledger(ck)) == {"raw", "qnt", "jpeg"}
