@@ -49,8 +49,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..config import DetectorConfig
-from .pairs import exact_neighbor_pairs
-from .windows import n_batches, point_batches, with_slide
+from .pairs import exact_neighbor_counts, pairs_to_counts
+from .windows import n_batches, point_batches, slide_of, with_slide
 
 
 @dataclass
@@ -63,19 +63,20 @@ class DetectionResult:
     stats: DataFrame  # single row of lifetime counters (K2 sink shape)
 
 
-def batch_counts(pairs: DataFrame, cfg: DetectorConfig, b_total: int) -> DataFrame:
-    """Per (point, batch) neighbor counts from the pair table.
+def batch_counts(counts: DataFrame, cfg: DetectorConfig, b_total: int) -> DataFrame:
+    """Per (point, batch) neighbor counts from the slide-binned count table
+    (i, slide_i, slide_j, c, c_arr — see pairs.exact_neighbor_counts).
 
-    A pair (i, j) counts toward i's ``end`` evaluation of every batch whose
-    window contains both, b in [max(si,sj), min(B, min(si,sj)+ws-1)], and
-    toward the ``pre`` evaluation of the same range minus its first batch.
-    One explode + one aggregation produces both counts; the fan-out factor
-    is <= W/S per pair and the groupBy pre-aggregates map-side.
+    A neighbor in slide sj counts toward i's ``end`` evaluation of every
+    batch whose window contains both, b in [max(si,sj), min(B,
+    min(si,sj)+ws-1)], and toward the ``pre`` evaluation of the same range
+    minus its first batch. One explode + one aggregation produces both; the
+    fan-out factor is <= W/S per count row and the input is already
+    pre-aggregated to O(n x ws) rows.
     """
     ws = cfg.ws
-    grouped = pairs.groupBy("i", "slide_i", "slide_j").agg(
-        F.count(F.lit(1)).alias("c"),
-        F.sum(F.when(F.col("j") < F.col("i"), 1).otherwise(0)).alias("c_arr"),
+    grouped = counts.groupBy("i", "slide_i", "slide_j").agg(
+        F.sum("c").alias("c")
     )
     lo = F.greatest("slide_i", "slide_j")
     hi = F.least(F.lit(b_total), F.least("slide_i", "slide_j") + F.lit(ws - 1))
@@ -91,29 +92,29 @@ def batch_counts(pairs: DataFrame, cfg: DetectorConfig, b_total: int) -> DataFra
     )
 
 
-def arrival_counts(pairs: DataFrame) -> DataFrame:
+def arrival_counts(counts: DataFrame) -> DataFrame:
     """Neighbor count seen by each point at its own ingestion moment.
 
     Expiry of slides <= slide(i)-ws precedes ingestion of batch slide(i),
-    and the pair table already excludes slide gaps >= ws, so the arrival
-    count is simply the number of neighbors with smaller id.
+    and the count table already excludes slide gaps >= ws, so the arrival
+    count is simply the total count of neighbors with smaller id (c_arr).
     """
     return (
-        pairs.where(F.col("j") < F.col("i"))
-        .groupBy(F.col("i").alias("id"))
-        .agg(F.count(F.lit(1)).alias("cnt_arrival"))
+        counts.groupBy(F.col("i").alias("id"))
+        .agg(F.sum("c_arr").alias("cnt_arrival"))
+        .where(F.col("cnt_arrival") > 0)
     )
 
 
 def evaluations(
     points_with_slide: DataFrame,
-    pairs: DataFrame,
+    slide_counts: DataFrame,
     cfg: DetectorConfig,
     b_total: int,
 ) -> DataFrame:
     """All (id, b, kind, cnt, is_inlier) evaluation rows (A3 classification)."""
     k = cfg.k
-    counts = batch_counts(pairs, cfg, b_total)
+    counts = batch_counts(slide_counts, cfg, b_total)
 
     pb = point_batches(points_with_slide, cfg, b_total)
     end_evals = (
@@ -137,7 +138,7 @@ def evaluations(
     )
     arr_evals = (
         points_with_slide.select("id", F.col("slide").alias("b"))
-        .join(arrival_counts(pairs), ["id"], "left")
+        .join(arrival_counts(slide_counts), ["id"], "left")
         .select(
             "id",
             "b",
@@ -149,23 +150,83 @@ def evaluations(
     return evals.withColumn("is_inlier", F.col("cnt") >= F.lit(k))
 
 
+def per_point_verdicts(
+    points_with_slide: DataFrame,
+    slide_counts: DataFrame,
+    cfg: DetectorConfig,
+    b_total: int,
+) -> DataFrame:
+    """Fused per-point (ever_inlier, ever_outlier) — the scale path.
+
+    Equivalent to aggregating ``evaluations`` (property-tested for
+    equality) but with a much shallower DAG: instead of materializing
+    every (id, batch, kind) evaluation row and unioning three kinds, it
+    derives the lifetime verdict from per-(id, batch) counts plus window
+    arithmetic:
+
+      * a point has n_b = min(B, slide+ws-1) - slide + 1 ``end``
+        evaluations; batches with no count row have cnt 0, so
+        "ever outlier at an end eval" = any present row with cnt_end < k
+        OR fewer present rows than n_b;
+      * ``pre`` evaluations are the same minus the arrival batch
+        (n_b - 1 of them, cnt_pre);
+      * the ``arrival`` evaluation count is sum(c_arr).
+
+    Counts only grow between pre and end of a batch, so these three cover
+    the full status trajectory (module docstring).
+    """
+    ws, k = cfg.ws, cfg.k
+    counts_b = batch_counts(slide_counts, cfg, b_total)
+    arr = arrival_counts(slide_counts)
+    per_id = counts_b.groupBy("id").agg(
+        F.max(F.col("cnt_end") >= k).alias("any_end_inlier"),
+        F.min("cnt_end").alias("min_end"),
+        F.count(F.lit(1)).alias("n_present"),
+        F.sum(F.when(F.col("b") > slide_of(F.col("id"), cfg.slide), 1).otherwise(0)).alias(
+            "n_pre_present"
+        ),
+        F.min(F.when(F.col("b") > slide_of(F.col("id"), cfg.slide), F.col("cnt_pre"))).alias(
+            "min_pre"
+        ),
+    )
+    base = points_with_slide.select("id", "slide")
+    n_b = F.least(F.lit(b_total), F.col("slide") + F.lit(ws - 1)) - F.col("slide") + 1
+    joined = (
+        base.join(per_id, "id", "left")
+        .join(arr, "id", "left")
+        .select(
+            "id",
+            F.coalesce("any_end_inlier", F.lit(False)).alias("ever_inlier"),
+            (
+                (F.coalesce("n_present", F.lit(0)) < n_b)
+                | (F.coalesce("min_end", F.lit(0)) < k)
+                | (F.coalesce("n_pre_present", F.lit(0)) < (n_b - 1))
+                | (F.coalesce("min_pre", F.lit(k)) < k)
+                | (F.coalesce("cnt_arrival", F.lit(0)) < k)
+            ).alias("ever_outlier"),
+        )
+    )
+    return joined
+
+
 def detect(
     points: DataFrame, cfg: DetectorConfig, pairs: DataFrame | None = None
 ) -> DetectionResult:
-    """Run the full detector; ``pairs`` may be injected (e.g. LSH variant)."""
+    """Run the full detector.
+
+    ``pairs`` may inject a raw neighbor-pair table (LSH / sampled
+    variants); the exact path skips pair materialization entirely and
+    aggregates slide-binned counts inside the block kernel. The verdict
+    aggregation uses the fused per-point path; ``evaluations`` stays
+    available (lazily) for diagnostics and property tests."""
     pts = with_slide(points, cfg)
     b_total = n_batches(points, cfg)
-    if pairs is None:
-        pairs = exact_neighbor_pairs(pts, cfg)
-
-    evals = evaluations(pts, pairs, cfg, b_total)
-
-    per_point = evals.groupBy("id").agg(
-        F.max(F.when(F.col("kind") == "end", F.col("is_inlier")).otherwise(F.lit(False))).alias(
-            "ever_inlier"
-        ),
-        F.max(~F.col("is_inlier")).alias("ever_outlier"),
+    slide_counts = (
+        exact_neighbor_counts(pts, cfg) if pairs is None else pairs_to_counts(pairs)
     )
+
+    evals = evaluations(pts, slide_counts, cfg, b_total)
+    per_point = per_point_verdicts(pts, slide_counts, cfg, b_total)
     outliers = (
         per_point.where(~F.col("ever_inlier")).select("id").orderBy("id")
     )

@@ -34,7 +34,9 @@ FEATURE_SCHEMA = "image_id string, ordinal long, features array<double>"
 N_HIST_BINS = 8
 
 
-def _check_batch(pdf: pd.DataFrame, with_ref: bool) -> pd.DataFrame:
+def _check_batch(
+    pdf: pd.DataFrame, with_ref: bool, keep_pixels: list | None = None
+) -> pd.DataFrame:
     out = []
     for row in pdf.itertuples(index=False):
         reason = []
@@ -83,6 +85,8 @@ def _check_batch(pdf: pd.DataFrame, with_ref: bool) -> pd.DataFrame:
                 if row.caption != row.ref_caption:
                     caption_ok = False
                     reason.append("caption")
+        if keep_pixels is not None:
+            keep_pixels.append(pixels)
         ok = decode_ok and dims_ok and phash_ok and pixels_ok and caption_ok
         out.append(
             {
@@ -99,6 +103,221 @@ def _check_batch(pdf: pd.DataFrame, with_ref: bool) -> pd.DataFrame:
             }
         )
     return pd.DataFrame(out)
+
+
+COMBINED_SCHEMA = CHECK_SCHEMA + ", ordinal long, features array<double>"
+
+DIGEST_SCHEMA = (
+    "image_id string, fmt string, caption string, ordinal long, "
+    "decode_ok boolean, dims_ok boolean, phash_ok boolean, phash_dec long, "
+    "is_stub boolean, decode_reason string, features array<double>"
+)
+
+PSNR_SCHEMA = "image_id string, psnr double, pixels_equal boolean"
+
+
+def decode_digests(images: DataFrame, ordinal_col: str | None = None) -> DataFrame:
+    """Map-only decode pass: structural checks + perceptual digest +
+    drift features per row. The heavy ``bytes`` column NEVER shuffles —
+    this stage runs on the scan partitions and only its (tiny) digest rows
+    flow downstream. This is the load-bearing dataflow decision for the
+    10^12-row shape: one decode, zero byte-shuffles.
+    """
+    df = images
+    if ordinal_col is None:
+        df = df.withColumn(
+            "_ord", F.regexp_extract("image_id", r"(\d+)$", 1).cast("long")
+        )
+        ordinal_col = "_ord"
+    df = df.select(
+        "image_id", "bytes", "w", "h", "fmt", "caption", "phash",
+        F.col(ordinal_col).alias("ordinal"),
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            rows = []
+            for row in pdf.itertuples(index=False):
+                decode_ok = dims_ok = phash_ok = True
+                reason = ""
+                pixels = None
+                phash_dec = None
+                is_stub = False
+                feats = None
+                try:
+                    pixels = codec.decode(bytes(row.bytes))
+                except codec.DecodeError as exc:
+                    decode_ok = dims_ok = phash_ok = False
+                    reason = f"decode:{exc}"
+                if pixels is not None:
+                    is_stub = bytes(row.bytes)[:4] == codec.MAGIC_JPEG
+                    if pixels.shape != (row.h, row.w):
+                        dims_ok = False
+                    phash_dec = codec.average_hash(pixels)
+                    phash_ok = phash_dec == row.phash
+                    hist, _ = np.histogram(pixels, bins=N_HIST_BINS, range=(0, 256))
+                    hist = hist.astype(np.float64) * (128.0 / pixels.size)
+                    feats = [float(pixels.mean()), float(pixels.std()), *hist.tolist()]
+                rows.append(
+                    {
+                        "image_id": row.image_id,
+                        "fmt": row.fmt,
+                        "caption": row.caption,
+                        "ordinal": int(row.ordinal),
+                        "decode_ok": decode_ok,
+                        "dims_ok": dims_ok,
+                        "phash_ok": phash_ok,
+                        "phash_dec": phash_dec,
+                        "is_stub": is_stub,
+                        "decode_reason": reason,
+                        "features": feats,
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(run, DIGEST_SCHEMA)
+
+
+def psnr_verify(images: DataFrame, reference: DataFrame, ids: DataFrame) -> DataFrame:
+    """Targeted full-fidelity pass for rows whose digest disagreed with the
+    reference: joins the actual bytes for ONLY those ids (semi-join prunes
+    the scan) and computes exact PSNR / equality. At 10^12 rows this
+    touches the tiny disagreement set, not the table.
+    """
+    subset = images.join(F.broadcast(ids), "image_id", "left_semi").select(
+        "image_id", "bytes"
+    )
+    ref = reference.join(F.broadcast(ids), "image_id", "left_semi").select(
+        "image_id", "ref_bytes"
+    )
+    joined = subset.join(ref, "image_id", "left")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            rows = []
+            for row in pdf.itertuples(index=False):
+                p, eq = 0.0, False
+                try:
+                    pixels = codec.decode(bytes(row.bytes))
+                    if row.ref_bytes is not None:
+                        ref_pixels = codec.decode(bytes(row.ref_bytes))
+                        p = codec.psnr(pixels, ref_pixels)
+                        eq = bool(np.array_equal(pixels, ref_pixels))
+                except codec.DecodeError:
+                    pass
+                rows.append({"image_id": row.image_id, "psnr": p, "pixels_equal": eq})
+            yield pd.DataFrame(rows)
+
+    return joined.mapInPandas(run, PSNR_SCHEMA)
+
+
+def row_checks_and_features(
+    images: DataFrame,
+    reference: DataFrame | None = None,
+    ordinal_col: str | None = None,
+) -> DataFrame:
+    """Row checks AND drift features — digest-first dataflow.
+
+    1. ``decode_digests``: map-only decode of every row (no byte shuffle);
+    2. digest rows join the reference digests (ref_phash, ref_caption) —
+       a narrow-row join;
+    3. rows whose decoded phash disagrees with the reference digest get the
+       exact PSNR re-verification via ``psnr_verify`` (rare set);
+       phash-agreeing rows pass the pixel invariant by digest agreement
+       (avg-hash equality; collisions are re-checked only in the exact
+       path, a documented approximation of "allclose" — the reference's
+       own LSH variants make the same sketch-then-verify trade,
+       /root/reference/src/core/lsh/LSHIndex.java:33-44).
+
+    Output schema matches the exhaustive path (CHECK_SCHEMA + ordinal,
+    features); ``psnr`` is NaN where the digest agreed (not computed).
+    """
+    digests = decode_digests(images, ordinal_col)
+    if reference is None:
+        return digests.select(
+            "image_id",
+            "fmt",
+            "decode_ok",
+            "dims_ok",
+            "phash_ok",
+            F.lit(True).alias("pixels_ok"),
+            F.lit(True).alias("caption_ok"),
+            F.lit(float("nan")).alias("psnr"),
+            (~F.col("decode_ok") | ~F.col("dims_ok") | ~F.col("phash_ok")).alias(
+                "is_violation"
+            ),
+            F.col("decode_reason").alias("reason"),
+            "ordinal",
+            "features",
+        )
+
+    ref_digest = reference.select(
+        "image_id",
+        F.col("ref_caption").alias("_ref_caption"),
+        F.col("ref_phash").alias("_ref_phash"),
+    )
+    base = (
+        digests.join(ref_digest, "image_id", "left")
+        .withColumn("_has_ref", F.col("_ref_phash").isNotNull())
+        .withColumn(
+            "_digest_match",
+            F.col("is_stub")
+            | (F.col("phash_dec") == F.col("_ref_phash")),
+        )
+    )
+    disagreed = base.where(
+        F.col("_has_ref") & F.col("decode_ok") & ~F.col("_digest_match")
+    ).select("image_id").distinct()
+    verified = psnr_verify(images, reference, disagreed)
+
+    out = base.join(verified, "image_id", "left")
+    lossless = F.col("fmt") == "raw"
+    pixels_ok = F.when(~F.col("_has_ref"), F.lit(False)).otherwise(
+        F.when(~F.col("decode_ok"), F.lit(False)).otherwise(
+            F.when(F.col("_digest_match"), F.lit(True)).otherwise(
+                F.when(lossless, F.coalesce("pixels_equal", F.lit(False))).otherwise(
+                    F.coalesce(F.col("psnr") >= F.lit(PSNR_MIN_DB), F.lit(False))
+                )
+            )
+        )
+    )
+    caption_ok = F.when(~F.col("_has_ref"), F.lit(False)).otherwise(
+        F.col("caption") == F.col("_ref_caption")
+    )
+    is_violation = (
+        ~F.col("decode_ok")
+        | ~F.col("dims_ok")
+        | ~F.col("phash_ok")
+        | ~pixels_ok
+        | ~caption_ok
+    )
+    reason = F.concat_ws(
+        ",",
+        F.when(F.col("decode_reason") != "", F.col("decode_reason")),
+        F.when(~F.col("dims_ok") & F.col("decode_ok"), F.lit("dims")),
+        F.when(~F.col("phash_ok") & F.col("decode_ok"), F.lit("phash")),
+        F.when(~F.col("_has_ref"), F.lit("no_reference")),
+        F.when(F.col("_has_ref") & ~pixels_ok & F.col("decode_ok"), F.lit("pixels")),
+        F.when(F.col("_has_ref") & ~caption_ok, F.lit("caption")),
+    )
+    return out.select(
+        "image_id",
+        "fmt",
+        "decode_ok",
+        "dims_ok",
+        "phash_ok",
+        pixels_ok.alias("pixels_ok"),
+        caption_ok.alias("caption_ok"),
+        F.coalesce("psnr", F.lit(float("nan"))).alias("psnr"),
+        is_violation.alias("is_violation"),
+        reason.alias("reason"),
+        "ordinal",
+        "features",
+    )
 
 
 def row_checks(images: DataFrame, reference: DataFrame | None = None) -> DataFrame:

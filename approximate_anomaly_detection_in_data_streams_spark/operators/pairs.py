@@ -78,6 +78,124 @@ def _pairwise_emit(
     )
 
 
+COUNT_SCHEMA = "i long, slide_i long, slide_j long, c long, c_arr long"
+
+
+def _counts_emit(
+    X: np.ndarray,
+    ids: np.ndarray,
+    slides: np.ndarray,
+    home: np.ndarray,
+    r2: float,
+    max_slide_gap: int,
+) -> pd.DataFrame:
+    """Per-point neighbor counts binned by the neighbor's slide.
+
+    The downstream aggregations (A1/A2: count_after / preceding-neighbor
+    counts) only consume counts per (owner, owner_slide, neighbor_slide) —
+    never the pair identities — so emitting the ~(2*ws - 1) count bins per
+    point instead of the O(W) raw pairs cuts the shuffle by ~W/ws (100x at
+    W=400 on dense data). This is SURVEY.md section 7 hard part (a) taken
+    to its conclusion.
+
+    Ownership rule (each co-window pair counted once per owner):
+      * home rows count neighbors among ALL block rows (home + guest);
+      * guest rows count neighbors among HOME rows only (their guest-block
+        pairs are home-home in the next block's group).
+    ``c_arr`` bins the subset with neighbor id < owner id (arrival-moment
+    counts, /root/reference/src/algorithms/MCOD.java:302-317).
+    """
+    sq = np.einsum("ij,ij->i", X, X)
+    n_bins = 2 * max_slide_gap + 1
+    out: list[pd.DataFrame] = []
+    for start in range(0, len(ids), CHUNK):
+        rows = np.arange(start, min(start + CHUNK, len(ids)))
+        d2 = sq[rows, None] + sq[None, :] - 2.0 * (X[rows] @ X.T)
+        off = slides[None, :] - slides[rows, None] + max_slide_gap
+        mask = (d2 <= r2) & (off >= 0) & (off < n_bins)
+        mask[np.arange(len(rows)), rows] = False  # no self-pairs
+        guest_rows = ~home[rows]
+        if guest_rows.any():
+            mask[guest_rows] &= home[None, :]
+        arr_mask = mask & (ids[None, :] < ids[rows, None])
+        c = np.zeros((len(rows), n_bins), dtype=np.int64)
+        c_arr = np.zeros((len(rows), n_bins), dtype=np.int64)
+        for b in range(n_bins):
+            sel = off == b
+            c[:, b] = (mask & sel).sum(axis=1)
+            c_arr[:, b] = (arr_mask & sel).sum(axis=1)
+        ri, bi = np.nonzero(c)
+        out.append(
+            pd.DataFrame(
+                {
+                    "i": ids[rows[ri]],
+                    "slide_i": slides[rows[ri]],
+                    "slide_j": slides[rows[ri]] + (bi - max_slide_gap),
+                    "c": c[ri, bi],
+                    "c_arr": c_arr[ri, bi],
+                }
+            )
+        )
+    if not out:
+        return pd.DataFrame(
+            {
+                "i": pd.Series(dtype="int64"),
+                "slide_i": pd.Series(dtype="int64"),
+                "slide_j": pd.Series(dtype="int64"),
+                "c": pd.Series(dtype="int64"),
+                "c_arr": pd.Series(dtype="int64"),
+            }
+        )
+    return pd.concat(out, ignore_index=True)
+
+
+def exact_neighbor_counts(
+    points_with_slide: DataFrame, cfg: DetectorConfig
+) -> DataFrame:
+    """Per-(point, neighbor-slide) neighbor counts — the exact detector's
+    scalable aggregate input. Output: (i, slide_i, slide_j, c, c_arr).
+
+    Same banded block layout as ``exact_neighbor_pairs`` (2x fan-out,
+    <= 2W points per task), but each task emits O(points x ws) count rows
+    instead of O(points x W) pairs.
+    """
+    ws = cfg.ws
+    r2 = float(cfg.r) * float(cfg.r)
+    max_gap = ws - 1
+
+    block = ((F.col("slide") - 1) / F.lit(ws)).cast("long")
+    base = points_with_slide.select("id", "features", "slide")
+    fanned = base.withColumn("g", block).withColumn("is_home", F.lit(True)).unionByName(
+        base.withColumn("g", block - 1)
+        .withColumn("is_home", F.lit(False))
+        .where(F.col("g") >= 0)
+    )
+
+    def emit(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) < 2:
+            return _counts_emit(
+                np.empty((0, 1)), np.empty(0, dtype=np.int64),
+                np.empty(0, dtype=np.int64), np.empty(0, dtype=bool), r2, max_gap,
+            )
+        order = np.argsort(pdf["id"].to_numpy())
+        ids = pdf["id"].to_numpy()[order]
+        slides = pdf["slide"].to_numpy()[order]
+        home = pdf["is_home"].to_numpy()[order]
+        X = np.stack(pdf["features"].to_numpy()[order]).astype(np.float64)
+        return _counts_emit(X, ids, slides, home, r2, max_gap)
+
+    return fanned.groupBy("g").applyInPandas(emit, COUNT_SCHEMA)
+
+
+def pairs_to_counts(pairs: DataFrame) -> DataFrame:
+    """Adapt a raw neighbor-pair table (i, j, slide_i, slide_j — both
+    directions) to the count shape the detector consumes."""
+    return pairs.groupBy("i", "slide_i", "slide_j").agg(
+        F.count(F.lit(1)).alias("c"),
+        F.sum(F.when(F.col("j") < F.col("i"), 1).otherwise(0)).alias("c_arr"),
+    )
+
+
 def exact_neighbor_pairs(points_with_slide: DataFrame, cfg: DetectorConfig) -> DataFrame:
     """All ordered pairs (i, j) with dist <= R that ever share a window.
 

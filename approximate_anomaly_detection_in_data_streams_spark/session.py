@@ -26,6 +26,12 @@ def get_spark(
         cores = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or os.cpu_count() or 4
     if shuffle_partitions is None:
         shuffle_partitions = max(2 * cores, 8)
+    # Keep glibc from returning large buffers to the kernel between Arrow
+    # batches: concurrent mmap/page-fault storms are pathologically slow on
+    # virtualized guests, and the Python workers re-allocate per batch.
+    # (Workers inherit this env through the JVM -> daemon fork chain.)
+    os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", "1073741824")
+    os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", "1073741824")
     builder = (
         SparkSession.builder.master(f"local[{cores}]")
         .appName(app_name)
@@ -35,6 +41,9 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # bound the transient per-batch allocation in Python workers
+        # (binary image rows are wide; 10k-row default batches are ~300MB)
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", driver_memory or os.environ.get("AADS_DRIVER_MEM", "8g"))
     )

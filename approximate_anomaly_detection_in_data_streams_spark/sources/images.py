@@ -68,6 +68,7 @@ class ImageTableConfig:
     # skewed fmt mix: hot "raw" key plus a rare stubbed codec
     p_raw: float = 0.70
     p_qnt: float = 0.29
+    size_scale: int = 1  # multiplies base w/h (bench: heavier per-image work)
 
 
 def caption_for(seed: int, idx: int) -> str:
@@ -77,9 +78,10 @@ def caption_for(seed: int, idx: int) -> str:
     return f"a photo of a {a} {b} ({idx})"
 
 
-def size_for(seed: int, idx: int) -> tuple[int, int]:
+def size_for(seed: int, idx: int, scale: int = 1) -> tuple[int, int]:
     rng = np.random.default_rng((seed * 17 + idx * 3 + 2) & 0xFFFFFFFF)
-    return _SIZES[int(rng.integers(len(_SIZES)))]
+    w, h = _SIZES[int(rng.integers(len(_SIZES)))]
+    return w * scale, h * scale
 
 
 def _true_pixels(
@@ -94,9 +96,9 @@ def _true_pixels(
     src = idx
     if idx > 0 and rng.random() < cfg.dup_frac:
         src = int(rng.integers(0, idx))
-        w, h = size_for(cfg.seed, src)
+        w, h = size_for(cfg.seed, src, cfg.size_scale)
         return codec.synth_pixels(cfg.seed, src, w, h), src, False
-    w, h = size_for(cfg.seed, src)
+    w, h = size_for(cfg.seed, src, cfg.size_scale)
     lo = int(cfg.n * cfg.drift_start_frac)
     hi = int(cfg.n * cfg.drift_end_frac)
     brightness = cfg.drift_brightness if lo <= idx < hi else 0

@@ -37,7 +37,7 @@ from pyspark.sql import types as T
 from .config import DetectorConfig
 from .operators import profile as profile_ops
 from .operators.detector import detect
-from .operators.image_checks import image_features, row_checks
+from .operators.image_checks import row_checks_and_features
 
 EXPECTED_SCHEMA = T.StructType(
     [
@@ -75,6 +75,7 @@ class ValidationReport:
     uniqueness: DataFrame
     phash_dups: DataFrame
     row_checks: DataFrame
+    features: DataFrame  # persisted decode-derived stage shared by sinks
     anomaly_outliers: DataFrame
     drift_slides: DataFrame
     violations: DataFrame
@@ -100,10 +101,17 @@ def validate_images(
     images: DataFrame,
     reference: DataFrame | None = None,
     cfg: ImageValidatorConfig | None = None,
+    persist: bool = True,
 ) -> ValidationReport:
     """Assemble the full validation lineage. Nothing executes until a sink
     pulls a stage; ``checkpoint.run_validation`` drives stages per
-    partition with resume."""
+    partition with resume.
+
+    ``persist=True`` caches the two decode-heavy stages (row checks,
+    features): several downstream sinks consume each, and without the
+    cache every sink would re-decode the whole table. At cluster scale
+    this is MEMORY_AND_DISK on executors — the decoded artifacts are tiny
+    relative to ``bytes``."""
     cfg = cfg or ImageValidatorConfig()
     part = cfg.partition_col
 
@@ -124,9 +132,15 @@ def validate_images(
         .where(F.col("n_dup") > cfg.phash_dup_limit)
         .orderBy(F.desc("n_dup"), "phash")
     )
-    checks = row_checks(images, reference)
+    combined = row_checks_and_features(images, reference)
+    if persist:
+        from pyspark import StorageLevel
 
-    feats = image_features(images)
+        combined = combined.persist(StorageLevel.MEMORY_AND_DISK)
+    checks = combined.drop("ordinal", "features")
+    feats = combined.where(F.col("features").isNotNull()).select(
+        "image_id", "ordinal", "features"
+    )
     points = feats.select((F.col("ordinal") + 1).alias("id"), "features")
     det = detect(points, cfg.drift).outliers  # column: id (= ordinal + 1)
     anomaly_outliers = (
@@ -181,6 +195,7 @@ def validate_images(
         uniqueness=uniq,
         phash_dups=phash_dups,
         row_checks=checks,
+        features=feats,
         anomaly_outliers=anomaly_outliers,
         drift_slides=drift_slides,
         violations=violations,

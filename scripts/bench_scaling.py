@@ -1,0 +1,184 @@
+"""Two-cluster-size scaling evidence (north_rule).
+
+No real cluster exists in this sandbox, so the driver-sanctioned proxy is
+the same job at two parallelism levels on the same input: an 8-CPU "N"
+cluster vs a 32-CPU "4N" cluster. Plain local[8] vs local[32] is NOT a
+fair proxy for a Python-heavy pipeline: local[N] bounds JVM task slots
+only, while the Arrow/pandas workers run in separate processes that would
+silently use the other 24 physical cores. Each measurement therefore runs
+in a subprocess pinned with ``taskset`` to exactly its CPU budget (JVM,
+shuffle threads, and Python workers all compete inside the budget, exactly
+as they would on an N-core cluster).
+
+Protocol per level:
+  1. the synthetic image+caption table is generated ONCE to parquet
+     (deterministic; identical bytes for both levels);
+  2. the pinned subprocess warms JVM + parquet footers + Python workers
+     (long-lived on a real cluster), then times the FULL validation
+     pipeline: schema, per-fmt stats, uniqueness, phash dup groups, row
+     invariants vs reference (decode + PSNR + caption), point anomalies
+     (windowed detector), per-slide drift, verdicts;
+  3. efficiency = thr(4N) / (4 * thr(N)), appended to BENCH.md.
+
+Usage:
+  python scripts/bench_scaling.py [n_images] [--quick]
+  python scripts/bench_scaling.py --run-one <cores> <img> <ref>   (internal)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+WORKDIR = os.environ.get("AADS_SCALING_DIR", "/tmp/aads_scaling")
+SIZE_SCALE = 2  # 32x32 .. 128x64 images — realistic per-image decode work
+
+
+def materialize(n: int) -> tuple[str, str]:
+    from approximate_anomaly_detection_in_data_streams_spark.session import get_spark
+    from approximate_anomaly_detection_in_data_streams_spark.sources.images import (
+        ImageTableConfig,
+        generate_images,
+        generate_reference,
+    )
+
+    cfg = ImageTableConfig(n=n, seed=7, partitions=128, size_scale=SIZE_SCALE)
+    img_path = os.path.join(WORKDIR, f"images_{n}_s{SIZE_SCALE}.parquet")
+    ref_path = os.path.join(WORKDIR, f"reference_{n}_s{SIZE_SCALE}.parquet")
+    if os.path.exists(img_path) and os.path.exists(ref_path):
+        return img_path, ref_path
+    spark = get_spark(app_name="aads-scaling-gen", cores=32)
+    generate_images(spark, cfg).write.mode("overwrite").parquet(img_path)
+    generate_reference(spark, cfg).write.mode("overwrite").parquet(ref_path)
+    spark.stop()
+    return img_path, ref_path
+
+
+def run_one(cores: int, img_path: str, ref_path: str) -> None:
+    """Timed validation inside a taskset-pinned subprocess; prints seconds."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from approximate_anomaly_detection_in_data_streams_spark.config import (
+        DetectorConfig,
+    )
+    from approximate_anomaly_detection_in_data_streams_spark.session import get_spark
+    from approximate_anomaly_detection_in_data_streams_spark.validator import (
+        ImageValidatorConfig,
+        validate_images,
+    )
+
+    spark = get_spark(
+        app_name=f"aads-scaling-{cores}",
+        cores=cores,
+        shuffle_partitions=2 * cores,
+        extra={
+            # split the (small-file) bench input into enough read tasks;
+            # at production scale the 128 MB default is right
+            "spark.sql.files.maxPartitionBytes": str(8 * 1024 * 1024),
+            "spark.sql.files.openCostInBytes": "131072",
+        },
+    )
+    images = spark.read.parquet(img_path)
+    reference = spark.read.parquet(ref_path)
+    vcfg = ImageValidatorConfig(drift=DetectorConfig(w=400, slide=100, r=40.0, k=6))
+
+    def warm_udf(it):
+        import numpy  # noqa: F401
+        import pandas  # noqa: F401
+
+        from approximate_anomaly_detection_in_data_streams_spark.functions import (  # noqa: F401
+            image_codec,
+        )
+
+        yield from it
+
+    images.count()
+    reference.count()
+    spark.range(0, cores * 8, 1, cores * 8).mapInPandas(warm_udf, "id long").count()
+
+    t0 = time.perf_counter()
+    report = validate_images(images, reference, vcfg)
+    # materialize the shared persisted stages exactly once before fanning
+    # out sinks — concurrent first-touch would compute them redundantly
+    report.row_checks.count()
+    report.features.count()
+    sinks = [
+        report.partition_stats,
+        report.uniqueness,
+        report.phash_dups,
+        report.violations,
+        report.drift_slides,
+        report.partition_verdicts,
+    ]
+    with ThreadPoolExecutor(max_workers=len(sinks)) as pool:
+        list(
+            pool.map(
+                lambda df: df.write.format("noop").mode("overwrite").save(), sinks
+            )
+        )
+    wall = time.perf_counter() - t0
+    spark.stop()
+    print(json.dumps({"wall": wall}))
+
+
+def pinned_run(cores: int, img_path: str, ref_path: str) -> float:
+    cpus = f"0-{cores - 1}"
+    out = subprocess.run(
+        [
+            "taskset", "-c", cpus, sys.executable, os.path.abspath(__file__),
+            "--run-one", str(cores), img_path, ref_path,
+        ],
+        capture_output=True, text=True, check=True,
+    )
+    return json.loads(out.stdout.strip().splitlines()[-1])["wall"]
+
+
+def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "--run-one":
+        run_one(int(sys.argv[2]), sys.argv[3], sys.argv[4])
+        return
+    n = 300_000
+    lo, hi = 8, 32
+    for a in sys.argv[1:]:
+        if a == "--quick":
+            n = 40_000
+        elif a.startswith("--pair="):
+            lo, hi = (int(x) for x in a.split("=")[1].split(","))
+        elif a.isdigit():
+            n = int(a)
+    os.makedirs(WORKDIR, exist_ok=True)
+    img_path, ref_path = materialize(n)
+
+    t_lo = pinned_run(lo, img_path, ref_path)
+    t_hi = pinned_run(hi, img_path, ref_path)
+    thr_lo = n / t_lo
+    thr_hi = n / t_hi
+    factor = hi / lo
+    eff = thr_hi / (factor * thr_lo)
+    result = {
+        "n_images": n,
+        "cpus": [lo, hi],
+        f"wall_s_{lo}cpu": round(t_lo, 2),
+        f"wall_s_{hi}cpu": round(t_hi, 2),
+        f"images_per_s_{lo}cpu": round(thr_lo, 1),
+        f"images_per_s_{hi}cpu": round(thr_hi, 1),
+        "speedup": round(t_lo / t_hi, 2),
+        "scaling_efficiency": round(eff, 3),
+        "target": ">= 0.8",
+    }
+    print(json.dumps(result))
+    with open("BENCH.md", "a") as fh:
+        fh.write(
+            f"\n| {n} | {lo}->{hi} | {result[f'wall_s_{lo}cpu']} | "
+            f"{result[f'wall_s_{hi}cpu']} | {result[f'images_per_s_{lo}cpu']} | "
+            f"{result[f'images_per_s_{hi}cpu']} | {result['scaling_efficiency']} |"
+        )
+
+
+if __name__ == "__main__":
+    main()

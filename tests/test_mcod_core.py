@@ -89,3 +89,46 @@ def test_stats_sum_to_n(spark, gauss2d):
         == stats.n_points
         == 2000
     )
+
+
+def test_fused_per_point_equals_evaluation_aggregation(spark, gauss2d):
+    """per_point_verdicts (the fused scale path) must agree with the
+    explicit evaluation-row aggregation on every point."""
+    from approximate_anomaly_detection_in_data_streams_spark.operators.detector import (
+        evaluations,
+        per_point_verdicts,
+    )
+    from approximate_anomaly_detection_in_data_streams_spark.operators.pairs import (
+        exact_neighbor_counts,
+    )
+    from approximate_anomaly_detection_in_data_streams_spark.operators.windows import (
+        n_batches,
+        with_slide,
+    )
+    from pyspark.sql import functions as F
+
+    cfg = DetectorConfig(w=100, slide=20, r=0.5, k=8)
+    points = to_points_df(spark, gauss2d)
+    pts = with_slide(points, cfg)
+    b_total = n_batches(points, cfg)
+    counts = exact_neighbor_counts(pts, cfg)
+
+    evals = evaluations(pts, counts, cfg, b_total)
+    via_evals = {
+        r.id: (r.ever_inlier, r.ever_outlier)
+        for r in evals.groupBy("id")
+        .agg(
+            F.max(
+                F.when(F.col("kind") == "end", F.col("is_inlier")).otherwise(
+                    F.lit(False)
+                )
+            ).alias("ever_inlier"),
+            F.max(~F.col("is_inlier")).alias("ever_outlier"),
+        )
+        .collect()
+    }
+    fused = {
+        r.id: (r.ever_inlier, r.ever_outlier)
+        for r in per_point_verdicts(pts, counts, cfg, b_total).collect()
+    }
+    assert fused == via_evals
