@@ -1,0 +1,238 @@
+"""Streaming execution of the windowed outlier detector.
+
+Two layers:
+
+  * ``SlideDetector`` — an incremental engine processing one slide-sized
+    batch at a time, mirroring the reference's driver loop
+    (/root/reference/src/Executor.java:112-114: ingest S points, expire,
+    re-evaluate) with vectorized NumPy instead of per-point index
+    maintenance. State = the current window's points + per-point lifetime
+    flags; everything else is recomputed per batch (the event queue /
+    micro-cluster machinery exists only to speed up single-threaded
+    incrementality — SURVEY.md section 4).
+  * ``run_structured_stream`` — Structured Streaming wrapper: a file
+    stream of point batches drives the same engine via ``foreachBatch``
+    (micro-batch = slide). State is held per stream-partition key; this
+    single-key demo holds it in the driver loop, the same shape
+    ``applyInPandasWithState`` distributes per key at scale.
+
+Verified equivalent to the batch detector (tests/test_streaming.py):
+same pure-outlier set, same lifetime stats.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ..config import DetectorConfig
+
+
+@dataclass
+class _PointState:
+    ever_inlier: bool = False
+    ever_outlier: bool = False
+
+
+@dataclass
+class SlideDetector:
+    """Incremental count-based sliding-window distance outlier detector."""
+
+    cfg: DetectorConfig
+    # window arrays (id-ascending)
+    _ids: np.ndarray = field(default_factory=lambda: np.empty(0, dtype=np.int64))
+    _slides: np.ndarray = field(default_factory=lambda: np.empty(0, dtype=np.int64))
+    _X: np.ndarray | None = None
+    _state: dict[int, _PointState] = field(default_factory=dict)
+    _outliers: set[int] = field(default_factory=set)
+    _batch: int = 0
+    _finalized: dict[str, int] = field(
+        default_factory=lambda: {"only_inlier": 0, "only_outlier": 0, "both": 0}
+    )
+
+    def _counts(self, X: np.ndarray, ids: np.ndarray) -> np.ndarray:
+        """Neighbor counts (dist <= R) of each row among all rows, self
+        excluded — one blocked pairwise pass per batch."""
+        if len(ids) == 0:
+            return np.empty(0, dtype=np.int64)
+        r2 = float(self.cfg.r) ** 2
+        sq = np.einsum("ij,ij->i", X, X)
+        out = np.empty(len(ids), dtype=np.int64)
+        chunk = 2048
+        for s in range(0, len(ids), chunk):
+            d2 = sq[s : s + chunk, None] + sq[None, :] - 2.0 * (X[s : s + chunk] @ X.T)
+            m = d2 <= r2
+            m[np.arange(m.shape[0]), np.arange(s, s + m.shape[0])] = False
+            out[s : s + chunk] = m.sum(axis=1)
+        return out
+
+    def _mark(self, ids: np.ndarray, counts: np.ndarray, end_eval: bool) -> None:
+        k = self.cfg.k
+        for pid, cnt in zip(ids.tolist(), counts.tolist()):
+            st = self._state[pid]
+            if cnt >= k:
+                if end_eval:
+                    st.ever_inlier = True
+            else:
+                st.ever_outlier = True
+
+    def _finalize(self, pid: int) -> None:
+        st = self._state.pop(pid)
+        if st.ever_inlier and not st.ever_outlier:
+            self._finalized["only_inlier"] += 1
+        elif st.ever_outlier and not st.ever_inlier:
+            self._finalized["only_outlier"] += 1
+        else:
+            self._finalized["both"] += 1
+        if not st.ever_inlier:
+            self._outliers.add(pid)
+
+    def process_batch(self, ids: np.ndarray, X: np.ndarray) -> None:
+        """Ingest one slide-sized batch (the reference's
+        ProcessNewStreamObjects, /root/reference/src/algorithms/MCOD.java:302-317):
+        expire, pre-re-evaluate survivors, arrival-evaluate new points,
+        end-evaluate the full window."""
+        cfg = self.cfg
+        self._batch += 1
+        b = self._batch
+        ids = np.asarray(ids, dtype=np.int64)
+        X = np.asarray(X, dtype=np.float64)
+
+        # expiry: window after this batch holds slides [b-ws+1 .. b]
+        min_slide = b - cfg.ws + 1
+        if self._X is not None and len(self._ids):
+            expired = self._slides < min_slide
+            for pid in self._ids[expired].tolist():
+                self._finalize(pid)
+            keep = ~expired
+            self._ids = self._ids[keep]
+            self._slides = self._slides[keep]
+            self._X = self._X[keep]
+
+            # pre re-evaluation of survivors (event-queue drain analog,
+            # /root/reference/src/algorithms/MCOD.java:228-261) — only
+            # meaningful when something expired
+            if b > 1:
+                counts = self._counts(self._X, self._ids)
+                self._mark(self._ids, counts, end_eval=False)
+
+        # arrival evaluations: new point vs survivors + earlier same-batch
+        for pid in ids.tolist():
+            self._state[pid] = _PointState()
+        if self._X is None or not len(self._ids):
+            win_X, win_ids = X, ids
+        else:
+            win_X = np.vstack([self._X, X])
+            win_ids = np.concatenate([self._ids, ids])
+        n_old = len(win_ids) - len(ids)
+        sq = np.einsum("ij,ij->i", win_X, win_X)
+        r2 = float(cfg.r) ** 2
+        k = cfg.k
+        for i in range(len(ids)):
+            gi = n_old + i
+            d2 = sq[:gi] + sq[gi] - 2.0 * (win_X[:gi] @ win_X[gi])
+            cnt = int((d2 <= r2).sum())
+            if cnt < k:
+                self._state[int(ids[i])].ever_outlier = True
+
+        # end evaluations for the whole window
+        self._ids = win_ids
+        self._slides = np.concatenate(
+            [self._slides, np.full(len(ids), b, dtype=np.int64)]
+        ) if n_old else np.full(len(ids), b, dtype=np.int64)
+        self._X = win_X
+        counts = self._counts(self._X, self._ids)
+        self._mark(self._ids, counts, end_eval=True)
+
+    def finish(self) -> dict:
+        """Stream exhausted: final flush (W4,
+        /root/reference/src/core/OutlierDetector.java:43-47)."""
+        for pid in self._ids.tolist():
+            self._finalize(pid)
+        self._ids = np.empty(0, dtype=np.int64)
+        self._slides = np.empty(0, dtype=np.int64)
+        self._X = None
+        return {
+            "outliers": sorted(self._outliers),
+            "n_only_inlier": self._finalized["only_inlier"],
+            "n_only_outlier": self._finalized["only_outlier"],
+            "n_both_inlier_outlier": self._finalized["both"],
+        }
+
+
+def run_slide_loop(ids: np.ndarray, X: np.ndarray, cfg: DetectorConfig) -> dict:
+    """Drive SlideDetector over a finite stream, slide by slide (the
+    reference's Executor main loop)."""
+    det = SlideDetector(cfg)
+    n = len(ids)
+    for start in range(0, n, cfg.slide):
+        det.process_batch(ids[start : start + cfg.slide], X[start : start + cfg.slide])
+    return det.finish()
+
+
+def run_structured_stream(
+    spark,
+    input_dir: str,
+    cfg: DetectorConfig,
+    checkpoint_dir: str,
+    dim: int,
+) -> dict:
+    """Structured Streaming driver: file-source micro-batches (one file per
+    slide) -> foreachBatch -> incremental SlideDetector.
+
+    The count-based semantics order the stream by id (arrival ordinal,
+    /root/reference/src/core/OutlierDetector.java:10), so the driver
+    re-sequences whatever micro-batch slicing the source produces: rows
+    buffer until a full slide's id-range is present, then complete slides
+    process in order; the final flush drains the partial tail. This makes
+    the result independent of file listing order and trigger boundaries.
+    Returns the final flush result after availableNow drains the source.
+    """
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("features", T.ArrayType(T.DoubleType())),
+        ]
+    )
+    det = SlideDetector(cfg)
+    pending: dict[int, list] = {}
+    next_id = [1]
+
+    def drain(final: bool = False) -> None:
+        S = cfg.slide
+        while pending:
+            slide_ids = list(range(next_id[0], next_id[0] + S))
+            have = [i for i in slide_ids if i in pending]
+            if len(have) < S:
+                if not (final and have == slide_ids[: len(have)] and have):
+                    return
+                slide_ids = have  # partial last slide at end of stream
+            if any(i not in pending for i in slide_ids):
+                return
+            ids = np.array(slide_ids, dtype=np.int64)
+            X = np.stack([pending.pop(i) for i in slide_ids])
+            det.process_batch(ids, X)
+            next_id[0] = slide_ids[-1] + 1
+
+    def step(batch_df, batch_id):
+        for row in batch_df.collect():
+            pending[int(row["id"])] = np.asarray(row["features"], dtype=np.float64)
+        drain()
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(input_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(step)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    drain(final=True)
+    return det.finish()
