@@ -116,13 +116,57 @@ DIGEST_SCHEMA = (
 PSNR_SCHEMA = "image_id string, psnr double, pixels_equal boolean"
 
 
+def _digest_same_shape(
+    mats: np.ndarray,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Vectorized (phash, features, stats) for a stack of same-shape
+    images (n, h, w) uint8. Matches codec.average_hash and the per-image
+    feature math bit-for-bit (same reductions, float64 throughout)."""
+    n, h, w = mats.shape
+    grid = 8
+    bh, bw = max(h // grid, 1), max(w // grid, 1)
+    trimmed = mats[:, : bh * grid, : bw * grid].astype(np.float64)
+    blocks = trimmed.reshape(n, grid, bh, grid, bw).mean(axis=(2, 4))
+    bits = blocks > blocks.mean(axis=(1, 2))[:, None, None]
+    weights = (1 << np.arange(63, dtype=np.uint64))
+    flat = bits.reshape(n, 64)[:, :63]
+    phashes = (flat * weights).sum(axis=1).astype(np.int64)
+
+    flat_px = mats.reshape(n, h * w).astype(np.float64)
+    means = flat_px.mean(axis=1)
+    stds = flat_px.std(axis=1)
+    # per-image 8-bin histogram via one flat bincount (bin = pixel >> 5)
+    bins = (mats.reshape(n, h * w) >> 5).astype(np.int64)
+    bins += np.arange(n, dtype=np.int64)[:, None] * N_HIST_BINS
+    hist = np.bincount(bins.ravel(), minlength=n * N_HIST_BINS).reshape(
+        n, N_HIST_BINS
+    )
+    hist = hist.astype(np.float64) * (128.0 / (h * w))
+    feats = np.concatenate([means[:, None], stds[:, None], hist], axis=1)
+    return phashes, feats, means
+
+
+_MAGIC_VALS = {
+    m: int(np.frombuffer(m, dtype="<u4")[0])
+    for m in (codec.MAGIC_RAW, codec.MAGIC_QNT, codec.MAGIC_JPEG)
+}
+
+
 def decode_digests(images: DataFrame, ordinal_col: str | None = None) -> DataFrame:
     """Map-only decode pass: structural checks + perceptual digest +
     drift features per row. The heavy ``bytes`` column NEVER shuffles —
     this stage runs on the scan partitions and only its (tiny) digest rows
     flow downstream. This is the load-bearing dataflow decision for the
     10^12-row shape: one decode, zero byte-shuffles.
+
+    Runs as ``mapInArrow``: the binary column is consumed directly from
+    the Arrow buffers (offsets + one contiguous data buffer) — no Python
+    bytes objects, no pandas conversion. Header fields parse as one
+    vectorized gather; same-shape groups digest as one 3-D NumPy stack;
+    only the (rare) stub-codec rows fall back to per-row decode.
     """
+    import pyarrow as pa
+
     df = images
     if ordinal_col is None:
         df = df.withColumn(
@@ -134,50 +178,148 @@ def decode_digests(images: DataFrame, ordinal_col: str | None = None) -> DataFra
         F.col(ordinal_col).alias("ordinal"),
     )
 
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            rows = []
-            for row in pdf.itertuples(index=False):
-                decode_ok = dims_ok = phash_ok = True
-                reason = ""
-                pixels = None
-                phash_dec = None
-                is_stub = False
-                feats = None
-                try:
-                    pixels = codec.decode(bytes(row.bytes))
-                except codec.DecodeError as exc:
-                    decode_ok = dims_ok = phash_ok = False
-                    reason = f"decode:{exc}"
-                if pixels is not None:
-                    is_stub = bytes(row.bytes)[:4] == codec.MAGIC_JPEG
-                    if pixels.shape != (row.h, row.w):
-                        dims_ok = False
-                    phash_dec = codec.average_hash(pixels)
-                    phash_ok = phash_dec == row.phash
-                    hist, _ = np.histogram(pixels, bins=N_HIST_BINS, range=(0, 256))
-                    hist = hist.astype(np.float64) * (128.0 / pixels.size)
-                    feats = [float(pixels.mean()), float(pixels.std()), *hist.tolist()]
-                rows.append(
-                    {
-                        "image_id": row.image_id,
-                        "fmt": row.fmt,
-                        "caption": row.caption,
-                        "ordinal": int(row.ordinal),
-                        "decode_ok": decode_ok,
-                        "dims_ok": dims_ok,
-                        "phash_ok": phash_ok,
-                        "phash_dec": phash_dec,
-                        "is_stub": is_stub,
-                        "decode_reason": reason,
-                        "features": feats,
-                    }
-                )
-            yield pd.DataFrame(rows)
+    out_schema = pa.schema(
+        [
+            ("image_id", pa.string()),
+            ("fmt", pa.string()),
+            ("caption", pa.string()),
+            ("ordinal", pa.int64()),
+            ("decode_ok", pa.bool_()),
+            ("dims_ok", pa.bool_()),
+            ("phash_ok", pa.bool_()),
+            ("phash_dec", pa.int64()),
+            ("is_stub", pa.bool_()),
+            ("decode_reason", pa.string()),
+            ("features", pa.list_(pa.float64())),
+        ]
+    )
 
-    return df.mapInPandas(run, DIGEST_SCHEMA)
+    def run(batches):
+        for rb in batches:
+            n = rb.num_rows
+            if not n:
+                continue
+            cols = {name: rb.column(i) for i, name in enumerate(rb.schema.names)}
+            bin_arr = cols["bytes"]
+            if isinstance(bin_arr, pa.ChunkedArray):  # defensive
+                bin_arr = bin_arr.combine_chunks()
+            # raw arrow buffers: validity, int32 offsets, data
+            off_buf = np.frombuffer(bin_arr.buffers()[1], dtype=np.int32)
+            arr_off = bin_arr.offset
+            offsets = off_buf[arr_off : arr_off + n + 1].astype(np.int64)
+            data = np.frombuffer(bin_arr.buffers()[2], dtype=np.uint8)
+            lengths = offsets[1:] - offsets[:-1]
+
+            meta_w = cols["w"].to_numpy(zero_copy_only=False).astype(np.int64)
+            meta_h = cols["h"].to_numpy(zero_copy_only=False).astype(np.int64)
+            stored_phash = cols["phash"].to_numpy(zero_copy_only=False)
+
+            decode_ok = np.ones(n, dtype=bool)
+            dims_ok = np.ones(n, dtype=bool)
+            is_stub = np.zeros(n, dtype=bool)
+            phash_dec = np.full(n, -1, dtype=np.int64)
+            feat_mat = np.full((n, 2 + N_HIST_BINS), np.nan)
+            reason_code = np.zeros(n, dtype=np.int8)  # 0 ok, 1 header, 2 size, 3 magic
+
+            has_header = lengths >= 8
+            reason_code[~has_header] = 1
+            starts = offsets[:-1]
+            hidx = starts[:, None] + np.arange(8)
+            hdr = np.where(has_header[:, None], hidx, 0)
+            headers = data[hdr]  # (n, 8)
+            magic_u32 = headers[:, :4].copy().view("<u4").ravel().astype(np.int64)
+            ww = headers[:, 4].astype(np.int64) | (headers[:, 5].astype(np.int64) << 8)
+            hh = headers[:, 6].astype(np.int64) | (headers[:, 7].astype(np.int64) << 8)
+
+            is_rawq = has_header & (
+                (magic_u32 == _MAGIC_VALS[codec.MAGIC_RAW])
+                | (magic_u32 == _MAGIC_VALS[codec.MAGIC_QNT])
+            )
+            is_jpeg = has_header & (magic_u32 == _MAGIC_VALS[codec.MAGIC_JPEG])
+            bad_magic = has_header & ~is_rawq & ~is_jpeg
+            reason_code[bad_magic] = 3
+            plausible = (ww > 0) & (hh > 0) & (ww <= 16384) & (hh <= 16384)
+            size_ok = lengths - 8 == ww * hh
+            bad_size = is_rawq & (~plausible | ~size_ok)
+            reason_code[bad_size] = 2
+            good_rawq = is_rawq & plausible & size_ok
+
+            failed = ~has_header | bad_magic | bad_size
+            decode_ok[failed] = False
+            dims_ok[failed] = False
+
+            # group good raw/qnt rows by (magic, w, h) and digest as stacks
+            if good_rawq.any():
+                gi = np.flatnonzero(good_rawq)
+                key = (magic_u32[gi] << 34) | (ww[gi] << 17) | hh[gi]
+                order = np.argsort(key, kind="stable")
+                gi = gi[order]
+                key = key[order]
+                bounds = np.flatnonzero(np.concatenate(([True], key[1:] != key[:-1])))
+                bounds = np.append(bounds, len(gi))
+                for b0, b1 in zip(bounds[:-1], bounds[1:]):
+                    idxs = gi[b0:b1]
+                    w = int(ww[idxs[0]])
+                    h = int(hh[idxs[0]])
+                    pidx = (starts[idxs] + 8)[:, None] + np.arange(w * h)
+                    stack = data[pidx].reshape(len(idxs), h, w)
+                    if magic_u32[idxs[0]] == _MAGIC_VALS[codec.MAGIC_QNT]:
+                        stack = (
+                            (stack.astype(np.uint16) << codec.QNT_SHIFT)
+                            + (1 << (codec.QNT_SHIFT - 1))
+                        ).clip(0, 255).astype(np.uint8)
+                    ph, fv, _ = _digest_same_shape(stack)
+                    phash_dec[idxs] = ph
+                    dims_ok[idxs] = (meta_h[idxs] == h) & (meta_w[idxs] == w)
+                    feat_mat[idxs] = fv
+
+            # rare stub rows: per-row fallback
+            for i in np.flatnonzero(is_jpeg):
+                blob = data[offsets[i] : offsets[i + 1]].tobytes()
+                try:
+                    pixels = codec.decode(blob)
+                except codec.DecodeError:
+                    decode_ok[i] = dims_ok[i] = False
+                    reason_code[i] = 2
+                    continue
+                is_stub[i] = True
+                dims_ok[i] = pixels.shape == (meta_h[i], meta_w[i])
+                ph, fv, _ = _digest_same_shape(pixels[None, :, :])
+                phash_dec[i] = ph[0]
+                feat_mat[i] = fv[0]
+
+            phash_ok = decode_ok & (phash_dec == stored_phash)
+            reasons = np.array(["", "decode:truncated header",
+                                "decode:payload size mismatch",
+                                "decode:unknown magic"])[reason_code]
+
+            ok_mask = decode_ok
+            flat = feat_mat[ok_mask].ravel()
+            list_offsets = np.zeros(n + 1, dtype=np.int32)
+            list_offsets[1:] = np.cumsum(ok_mask.astype(np.int32) * (2 + N_HIST_BINS))
+            features_arr = pa.ListArray.from_arrays(
+                pa.array(list_offsets),
+                pa.array(flat, type=pa.float64()),
+                mask=pa.array(~ok_mask),  # failed rows -> null, not []
+            )
+            yield pa.RecordBatch.from_arrays(
+                [
+                    cols["image_id"],
+                    cols["fmt"],
+                    cols["caption"],
+                    cols["ordinal"],
+                    pa.array(decode_ok),
+                    pa.array(dims_ok),
+                    pa.array(phash_ok),
+                    pa.array(phash_dec),
+                    pa.array(is_stub),
+                    pa.array(reasons),
+                    features_arr,
+                ],
+                schema=out_schema,
+            )
+
+    return df.mapInArrow(run, DIGEST_SCHEMA)
 
 
 def psnr_verify(images: DataFrame, reference: DataFrame, ids: DataFrame) -> DataFrame:
@@ -219,6 +361,7 @@ def row_checks_and_features(
     images: DataFrame,
     reference: DataFrame | None = None,
     ordinal_col: str | None = None,
+    persist_digests: bool = True,
 ) -> DataFrame:
     """Row checks AND drift features — digest-first dataflow.
 
@@ -237,6 +380,12 @@ def row_checks_and_features(
     features); ``psnr`` is NaN where the digest agreed (not computed).
     """
     digests = decode_digests(images, ordinal_col)
+    if persist_digests and reference is not None:
+        # the digest stage feeds BOTH the disagreement broadcast and the
+        # main output — without a persist the decode pass would run twice
+        from pyspark import StorageLevel
+
+        digests = digests.persist(StorageLevel.MEMORY_AND_DISK)
     if reference is None:
         return digests.select(
             "image_id",
