@@ -119,19 +119,42 @@ def minhash_signatures(
 ) -> DataFrame:
     """MinHash signatures: (id, sig ARRAY<BIGINT>[num_perm]).
 
-    One xxhash64 per (shingle, perm-seed), min per perm — all JVM built-ins
-    via transform over a literal seed array; the groupBy(id) min-aggregates
-    map-side. Deterministic under ``seed``.
+    Each distinct shingle hashes ONCE (JVM xxhash64); the num_perm
+    permutations are seeded multiply-shift maps h_p(x) = a_p*x + b_p over
+    uint64 (a_p odd => bijective), applied as one vectorized outer product
+    with a segment-min (np.minimum.reduceat) per document. Deterministic
+    under ``seed``; ~num_perm x less hashing work than hashing per
+    (shingle, permutation).
     """
-    sh = char_shingles(df, id_col, text_col, n)
-    seeds = F.array(*[F.lit(seed + p) for p in range(num_perm)])
-    hashed = sh.select(
-        "id",
-        F.transform(seeds, lambda s: F.xxhash64(F.col("shingle"), s)).alias("hs"),
+    sh = char_shingles(df, id_col, text_col, n).select(
+        "id", F.xxhash64("shingle", F.lit(seed)).alias("h")
     )
-    mins = [F.min(F.col("hs")[p]).alias(f"h{p}") for p in range(num_perm)]
-    agg = hashed.groupBy("id").agg(*mins)
-    return agg.select("id", F.array(*[f"h{p}" for p in range(num_perm)]).alias("sig"))
+    rng = np.random.default_rng(seed)
+    A = (rng.integers(0, 1 << 63, size=num_perm, dtype=np.uint64) << np.uint64(1)) | np.uint64(1)
+    B = rng.integers(0, 1 << 63, size=num_perm, dtype=np.uint64)
+
+    def emit(batches):
+        chunks = [c for c in batches if len(c)]
+        if not chunks:
+            return
+        pdf = pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else chunks[0]
+        order = np.argsort(pdf["id"].to_numpy(), kind="stable")
+        ids = pdf["id"].to_numpy()[order]
+        hs = pdf["h"].to_numpy()[order].view(np.uint64)
+        starts = np.flatnonzero(np.concatenate(([True], ids[1:] != ids[:-1])))
+        with np.errstate(over="ignore"):
+            M = hs[:, None] * A[None, :] + B[None, :]
+        mins = np.minimum.reduceat(M, starts, axis=0)
+        yield pd.DataFrame(
+            {"id": ids[starts], "sig": list(mins.view(np.int64))}
+        )
+
+    sp = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "64"))
+    return (
+        sh.repartition(sp, "id")
+        .sortWithinPartitions("id")
+        .mapInPandas(emit, "id long, sig array<long>")
+    )
 
 
 def minhash_lsh_pairs(
@@ -166,8 +189,6 @@ def minhash_lsh_pairs(
     output precision is 1.0; banding/cap/estimate only affect recall.
     Output: (id_a, id_b, jaccard) ordered.
     """
-    from pyspark.sql.window import Window
-
     rows = num_perm // bands
     sig = minhash_signatures(df, id_col, text_col, n, num_perm, seed)
     banded = sig.select(
@@ -187,29 +208,80 @@ def minhash_lsh_pairs(
             )
         ).alias("bk"),
     ).select("id", "sig", "bk.band", "bk.bh")
-    if bucket_cap is not None:
-        w = Window.partitionBy("band", "bh").orderBy(F.xxhash64("id", F.lit(seed)))
-        banded = (
-            banded.withColumn("_rn", F.row_number().over(w))
-            .where(F.col("_rn") <= bucket_cap)
-            .drop("_rn")
-        )
-    x = banded.select(
-        F.col("id").alias("id_a"), F.col("sig").alias("sig_a"), "band", "bh"
-    )
-    y = banded.select(
-        F.col("id").alias("id_b"), F.col("sig").alias("sig_b"), "band", "bh"
-    )
-    est = F.aggregate(
-        F.zip_with("sig_a", "sig_b", lambda a, b: (a == b).cast("int")),
-        F.lit(0),
-        lambda acc, v: acc + v,
-    ) / F.lit(num_perm)
+
+    # Candidate generation runs entirely inside (band, band_hash) buckets
+    # as vectorized NumPy: cap each bucket deterministically, compare all
+    # member signatures pairwise (num_perm equality planes), emit only
+    # pairs whose estimated Jaccard clears threshold - est_margin. Buckets
+    # are co-located by a repartition + sortWithinPartitions and scanned
+    # per PARTITION (mapInPandas), not per group — thousands of tiny
+    # buckets would pay per-group Arrow overhead otherwise. No pair-level
+    # shuffle of signature payloads ever happens.
+    cut = threshold - est_margin
+    cap = bucket_cap or (1 << 30)
+
+    def emit(batches) -> "pd.DataFrame":
+        chunks = [c for c in batches if len(c)]
+        if not chunks:
+            return
+        pdf = pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else chunks[0]
+        band = pdf["band"].to_numpy()
+        bh = pdf["bh"].to_numpy()
+        order = np.lexsort((bh, band))
+        band, bh = band[order], bh[order]
+        ids_all = pdf["id"].to_numpy()[order]
+        sigs_all = pdf["sig"].to_numpy()[order]
+        changed = (band[1:] != band[:-1]) | (bh[1:] != bh[:-1])
+        bounds = np.flatnonzero(np.concatenate(([True], changed)))
+        bounds = np.append(bounds, len(band))
+        # preallocated scratch reused across buckets: per-bucket fresh
+        # allocation of the m x m planes would churn gigabytes
+        max_m = min(int((bounds[1:] - bounds[:-1]).max()), cap)
+        S_buf = np.empty((max_m, num_perm), dtype=np.int64)
+        agree = np.empty((max_m, max_m), dtype=np.int16)
+        eq = np.empty((max_m, max_m), dtype=bool)
+        out_a, out_b = [], []
+        for b0, b1 in zip(bounds[:-1], bounds[1:]):
+            m = b1 - b0
+            if m < 2:
+                continue
+            ids = ids_all[b0:b1]
+            sl = slice(b0, b1)
+            if m > cap:
+                pick = np.argsort(
+                    (ids * np.int64(0x9E3779B9) + seed) & 0x7FFFFFFF
+                )[:cap]
+                pick.sort()
+                ids = ids[pick]
+                sigs = sigs_all[sl][pick]
+                m = cap
+            else:
+                sigs = sigs_all[sl]
+            S = S_buf[:m]
+            for j in range(m):
+                S[j] = sigs[j]
+            a = agree[:m, :m]
+            e = eq[:m, :m]
+            a[:] = 0
+            for p in range(num_perm):
+                col = S[:, p]
+                np.equal(col[:, None], col[None, :], out=e)
+                a += e
+            np.less(ids[:, None], ids[None, :], out=e)
+            np.logical_and(a >= cut * num_perm, e, out=e)
+            ai, bj = np.nonzero(e)
+            out_a.append(ids[ai])
+            out_b.append(ids[bj])
+        if out_a:
+            yield pd.DataFrame(
+                {"id_a": np.concatenate(out_a), "id_b": np.concatenate(out_b)}
+            )
+
+    sp = banded.sparkSession.conf.get("spark.sql.shuffle.partitions", "64")
     cand = (
-        x.join(y, ["band", "bh"])
-        .where(F.col("id_a") < F.col("id_b"))
-        .where(est >= F.lit(threshold - est_margin))
-        .select("id_a", "id_b")
+        banded.repartition(int(sp), "band", "bh")
+        .sortWithinPartitions("band", "bh")
+        .mapInPandas(emit, "id_a long, id_b long")
         .distinct()
     )
     # Verify candidates only: join each side to its shingle *set* and take
@@ -221,8 +293,16 @@ def minhash_lsh_pairs(
         .groupBy("id")
         .agg(F.collect_set("shingle").alias("sh"))
     )
-    sa = shingle_sets.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
-    sb = shingle_sets.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    # broadcast the per-doc set table: candidates stream map-side and the
+    # multi-KB set payloads are never duplicated per pair through a
+    # shuffle. (At corpus sizes where the set table outgrows broadcast,
+    # swap the hint for a bucketed join on id.)
+    sa = F.broadcast(
+        shingle_sets.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    )
+    sb = F.broadcast(
+        shingle_sets.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    )
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
     return (
