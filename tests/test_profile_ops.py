@@ -1,0 +1,101 @@
+"""Profile/dedup operator coverage: CMS probe, HLL uniqueness, salted
+join, approximate detector variants, accuracy comparator."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from approximate_anomaly_detection_in_data_streams_spark.api import (
+    approx_mclshod_config,
+    run_detector,
+)
+from approximate_anomaly_detection_in_data_streams_spark.config import DetectorConfig
+from approximate_anomaly_detection_in_data_streams_spark.operators.accuracy import (
+    compare_outlier_sets,
+)
+from approximate_anomaly_detection_in_data_streams_spark.operators import profile
+
+
+def test_cms_heavy_hitters_overestimates_only(spark, sf_dir):
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    exact = {
+        r["value"]: r["n"]
+        for r in profile.heavy_hitters(events, "event_type", 1).collect()
+    }
+    est = {
+        r["value"]: r["n_est"]
+        for r in profile.cms_heavy_hitters(
+            events, "event_type", list(exact)
+        ).collect()
+    }
+    assert set(est) == set(exact)
+    for k, n in exact.items():
+        assert est[k] >= n  # CMS never undercounts
+        assert est[k] <= n * 1.05 + 100
+
+
+def test_uniqueness_hll_close_to_exact(spark, sf_dir):
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    exact = profile.uniqueness(orders, ["o_custkey"], exact=True).first()
+    approx = profile.uniqueness(orders, ["o_custkey"], exact=False).first()
+    assert exact["n_rows"] == approx["n_rows"]
+    rel = abs(approx["o_custkey_distinct"] - exact["o_custkey_distinct"]) / max(
+        exact["o_custkey_distinct"], 1
+    )
+    assert rel < 0.05
+
+
+def test_salted_join_equals_plain_join(spark, sf_dir):
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    plain = (
+        orders.join(cust, "o_custkey")
+        .groupBy("c_mktsegment")
+        .count()
+        .collect()
+    )
+    salted = (
+        profile.salted_join(orders, cust, "o_custkey", salt=4)
+        .groupBy("c_mktsegment")
+        .count()
+        .collect()
+    )
+    assert sorted((r["c_mktsegment"], r["count"]) for r in plain) == sorted(
+        (r["c_mktsegment"], r["count"]) for r in salted
+    )
+
+
+@pytest.fixture(scope="module")
+def gauss_points(spark, gauss2d):
+    return spark.createDataFrame(
+        [(i + 1, [float(a), float(b)]) for i, (a, b) in enumerate(gauss2d)],
+        "id long, features array<double>",
+    ).cache()
+
+
+def test_approx_mcod_recall_vs_exact(spark, gauss_points):
+    cfg = DetectorConfig(w=100, slide=20, r=0.5, k=8)
+    exact = run_detector(gauss_points, cfg).outliers
+    approx_cfg = DetectorConfig(
+        w=100, slide=20, r=0.5, k=8, algorithm="approx_mcod", pd_limit=50
+    )
+    approx = run_detector(gauss_points, approx_cfg).outliers
+    res = compare_outlier_sets(exact, approx)
+    # reference's own committed sample shows 70% recall
+    # (/root/reference/src/mcodFile.txt vs approxmcodFile.txt)
+    assert res["recall"] >= 0.7
+
+
+def test_approx_mclshod_recall_vs_exact(spark, gauss_points):
+    cfg = DetectorConfig(w=100, slide=20, r=0.5, k=8)
+    exact = run_detector(gauss_points, cfg).outliers
+    approx = run_detector(
+        gauss_points, approx_mclshod_config(100, 20, 0.5, 8)
+    ).outliers
+    res = compare_outlier_sets(exact, approx)
+    assert res["recall"] >= 0.95  # superset property: missed collisions
+    # only lower counts -> outliers are a superset of exact
