@@ -53,3 +53,22 @@ def test_lshod_superset_and_precision(spark, shuttle_points):
     cmp = compare_outlier_sets(exact.outliers, approx.outliers)
     assert cmp["recall"] == 1.0  # structural: candidates subset of neighbors
     assert cmp["precision"] >= 0.4  # quality floor for default LSH params
+
+
+@pytest.mark.parametrize(
+    "dataset,w,s,r,k,golden",
+    [
+        ("satimage-2.csv.gz", 1000, 100, 80.0, 30, "mcod_satimage2_1000_100_80_30.txt"),
+        ("arrhythmia.csv.gz", 200, 50, 200.0, 10, "mcod_arrhythmia_200_50_200_10.txt"),
+    ],
+)
+def test_mcod_reference_datasets_golden(spark, dataset, w, s, r, k, golden):
+    """Bit-exact parity on the reference's other committed benchmark
+    datasets (36-dim satimage-2, 274-dim arrhythmia); goldens produced by
+    running the compiled reference Java with the same parameters."""
+    with gzip.open(GOLDEN / dataset, "rt") as f:
+        data = np.loadtxt(f, delimiter=",")
+    points = to_points_df(spark, data)
+    cfg = DetectorConfig(w=w, slide=s, r=r, k=k)
+    got = [row.id for row in run_detector(points, cfg).outliers.collect()]
+    assert got == golden_outliers(golden)
