@@ -50,6 +50,10 @@ class SlideDetector:
     _finalized: dict[str, int] = field(
         default_factory=lambda: {"only_inlier": 0, "only_outlier": 0, "both": 0}
     )
+    # per-batch diagnostics (the reference's DIAG prints, K3 in SURVEY.md:
+    # /root/reference/src/algorithms/MCOD.java:320-332): one dict per
+    # processed batch with window population and work counters
+    diagnostics: list[dict] = field(default_factory=list)
 
     def _counts(self, X: np.ndarray, ids: np.ndarray) -> np.ndarray:
         """Neighbor counts (dist <= R) of each row among all rows, self
@@ -144,6 +148,14 @@ class SlideDetector:
         self._X = win_X
         counts = self._counts(self._X, self._ids)
         self._mark(self._ids, counts, end_eval=True)
+        self.diagnostics.append(
+            {
+                "batch": b,
+                "window_size": int(len(self._ids)),
+                "n_new": int(len(ids)),
+                "n_outliers_recorded": len(self._outliers),
+            }
+        )
 
     def finish(self) -> dict:
         """Stream exhausted: final flush (W4,

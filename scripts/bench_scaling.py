@@ -76,6 +76,7 @@ def run_one(cores: int, img_path: str, ref_path: str) -> None:
         app_name=f"aads-scaling-{cores}",
         cores=cores,
         shuffle_partitions=2 * cores,
+        driver_memory="24g",
         extra={
             # split the (small-file) bench input into enough read tasks;
             # at production scale the 128 MB default is right
@@ -126,16 +127,22 @@ def run_one(cores: int, img_path: str, ref_path: str) -> None:
     print(json.dumps({"wall": wall}))
 
 
-def pinned_run(cores: int, img_path: str, ref_path: str) -> float:
+def pinned_run(cores: int, img_path: str, ref_path: str, reps: int = 2) -> float:
+    """Best-of-``reps``: the shared guest host has bursty interference
+    (measured 2x wall variance on identical configs), and min-of-N is the
+    standard way to measure the machine rather than the noise."""
     cpus = f"0-{cores - 1}"
-    out = subprocess.run(
-        [
-            "taskset", "-c", cpus, sys.executable, os.path.abspath(__file__),
-            "--run-one", str(cores), img_path, ref_path,
-        ],
-        capture_output=True, text=True, check=True,
-    )
-    return json.loads(out.stdout.strip().splitlines()[-1])["wall"]
+    walls = []
+    for _ in range(reps):
+        out = subprocess.run(
+            [
+                "taskset", "-c", cpus, sys.executable, os.path.abspath(__file__),
+                "--run-one", str(cores), img_path, ref_path,
+            ],
+            capture_output=True, text=True, check=True,
+        )
+        walls.append(json.loads(out.stdout.strip().splitlines()[-1])["wall"])
+    return min(walls)
 
 
 def main() -> None:

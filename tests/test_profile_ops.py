@@ -99,3 +99,33 @@ def test_approx_mclshod_recall_vs_exact(spark, gauss_points):
     res = compare_outlier_sets(exact, approx)
     assert res["recall"] >= 0.95  # superset property: missed collisions
     # only lower counts -> outliers are a superset of exact
+
+
+def test_load_stream_csv_drops_trailing_class(spark, tmp_path):
+    p = tmp_path / "labeled.csv"
+    p.write_text("1.0,2.0,7\n3.0,4.0,9\n")
+    from approximate_anomaly_detection_in_data_streams_spark.sources.stream_csv import (
+        load_stream_csv,
+    )
+
+    rows = load_stream_csv(spark, str(p), contains_class=True).orderBy("id").collect()
+    assert [r.features for r in rows] == [[1.0, 2.0], [3.0, 4.0]]
+    rows2 = load_stream_csv(spark, str(p), contains_class=False).orderBy("id").collect()
+    assert rows2[0].features == [1.0, 2.0, 7.0]
+
+
+def test_slide_detector_diagnostics(gauss2d):
+    import numpy as np
+
+    from approximate_anomaly_detection_in_data_streams_spark.streaming.incremental import (
+        SlideDetector,
+    )
+
+    det = SlideDetector(DetectorConfig(w=100, slide=20, r=0.5, k=8))
+    ids = np.arange(1, 201)
+    for s in range(0, 200, 20):
+        det.process_batch(ids[s : s + 20], gauss2d[s : s + 20])
+    assert len(det.diagnostics) == 10
+    assert det.diagnostics[0]["window_size"] == 20
+    assert det.diagnostics[-1]["window_size"] == 100  # W cap reached
+    assert all(d["n_new"] == 20 for d in det.diagnostics)
