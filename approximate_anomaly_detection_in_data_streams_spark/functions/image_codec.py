@@ -123,10 +123,20 @@ def average_hash(pixels: np.ndarray, grid: int = 8) -> int:
 
 
 def synth_pixels(seed: int, idx: int, w: int, h: int, brightness: int = 0) -> np.ndarray:
-    """Deterministic synthetic grayscale image: smooth gradient + seeded
-    noise (so near-dups and drift are controllable)."""
+    """Deterministic synthetic grayscale image: per-image low-frequency
+    structure (random-phase cosine over a gradient) + seeded noise.
+
+    The low-frequency component varies per image so the perceptual hash
+    discriminates between distinct images (a pure shared gradient would
+    give near-constant block-mean bit patterns and collide almost every
+    phash); exact copies still share pixels bit-for-bit."""
     rng = np.random.default_rng((seed * 1_000_003 + idx) & 0xFFFFFFFF)
     yy, xx = np.mgrid[0:h, 0:w]
-    base = (xx * 255.0 / max(w - 1, 1) + yy * 128.0 / max(h - 1, 1)) / 1.5
+    base = (xx * 255.0 / max(w - 1, 1) + yy * 128.0 / max(h - 1, 1)) / 2.2
+    fx, fy = rng.integers(1, 4), rng.integers(1, 4)
+    phase = rng.uniform(0, 2 * np.pi)
+    wave = 45.0 * np.cos(
+        2 * np.pi * (fx * xx / max(w, 1) + fy * yy / max(h, 1)) + phase
+    )
     noise = rng.normal(0, 12.0, size=(h, w))
-    return np.clip(base + noise + brightness, 0, 255).astype(np.uint8)
+    return np.clip(base + wave + 64.0 + noise + brightness, 0, 255).astype(np.uint8)

@@ -62,7 +62,9 @@ class ImageValidatorConfig:
         default_factory=lambda: DetectorConfig(w=400, slide=100, r=60.0, k=8)
     )
     drift_slide_size: int = 50  # rows per slide for the profile-drift check
-    drift_l1_limit: float = 25.0  # max L1(slide profile, global profile)
+    # max L1(slide profile, global profile): clean-slide noise measures
+    # ~6-22 on the synthetic fixtures, sustained drift ~84-143
+    drift_l1_limit: float = 45.0
 
 
 @dataclass
