@@ -232,6 +232,16 @@ def q_simhash_pairs_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the exact Jaccard near-dup pairs:
+    (id, group_id=min member) — the canonical-document resolution step of
+    a dedup pipeline (iterative min-label propagation)."""
+    pairs = dedup_ops.ngram_jaccard_pairs(
+        _load(spark, sf_dir, "documents"), "doc_id", "text", JACCARD_N, JACCARD_T
+    )
+    return dedup_ops.dedup_groups(pairs)
+
+
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_ops.embedding_neardup_pairs(
         _load(spark, sf_dir, "embeddings"), "vec_id", "embedding", COS_T
@@ -356,6 +366,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_hourly_events": q_window_hourly_events,
         "exact_dups_documents": q_exact_dups_documents,
         "jaccard_pairs_documents": q_jaccard_pairs_documents,
+        "dedup_groups": q_dedup_groups,
         "minhash_pairs_documents": q_minhash_pairs_documents,
         "simhash_pairs_documents": q_simhash_pairs_documents,
         "embedding_neardup": q_embedding_neardup,
@@ -537,6 +548,38 @@ order by id_a, id_b
 """
 
 
+def _dedup_groups_sql() -> str:
+    n = JACCARD_N
+    return f"""
+with recursive sh as (
+  select distinct doc_id as id, substr(text, s.b, {n}) as shingle
+  from documents,
+       unnest(generate_series(1, greatest(length(text) - {n - 1}, 1))) as s(b)
+  where length(substr(text, s.b, {n})) = {n}
+), sizes as (select id, count(*) as sz from sh group by 1),
+common as (
+  select a.id as id_a, b.id as id_b, count(*) as c
+  from sh a join sh b using (shingle) where a.id < b.id group by 1, 2
+), pairs as (
+  select id_a, id_b
+  from common
+  join sizes sa on sa.id = id_a join sizes sb on sb.id = id_b
+  where round(c * 1.0 / (sa.sz + sb.sz - c), 6) >= {JACCARD_T}
+), edges as (
+  select id_a as u, id_b as v from pairs
+  union select id_b, id_a from pairs
+), reach(u, v) as (
+  select u, v from edges
+  union
+  select r.u, e.v from reach r join edges e on r.v = e.u
+)
+select n.id, least(n.id, min(r.v)) as group_id
+from (select distinct u as id from edges) n
+join reach r on r.u = n.id
+group by n.id order by n.id
+"""
+
+
 def _embedding_neardup_sql() -> str:
     return f"""
 with v as (
@@ -647,6 +690,7 @@ select md5(text) as content_hash, count(*) as n_dup, min(doc_id) as min_id
 from documents group by 1 having count(*) > 1 order by n_dup desc, min_id
 """,
         "jaccard_pairs_documents": _jaccard_sql(),
+        "dedup_groups": _dedup_groups_sql(),
         "embedding_neardup": _embedding_neardup_sql(),
         "knn_bruteforce": _knn_sql(),
         "lang_id_documents": _lang_id_sql(),

@@ -435,3 +435,57 @@ def embedding_neardup_pairs(
         F.col(id_col).cast("long").alias("id"), F.col(vec_col).alias("vec")
     ).withColumn("g", F.lit(0))
     return base.groupBy("g").applyInPandas(emit, pdf_schema).orderBy("id_a", "id_b")
+
+
+def dedup_groups(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b") -> DataFrame:
+    """Connected components over a near-dup pair table: (id, group_id).
+
+    group_id = the minimum member id of the component (the canonical
+    document a training pipeline keeps). Iterative min-label propagation:
+    each round every node adopts the smallest label among itself and its
+    neighbors; converges in O(diameter) rounds — near-dup components are
+    shallow (clusters of mutual duplicates), so a handful of rounds
+    suffices. Each round is two shuffles (edge join + min-agg); the loop
+    is driven from the driver with a convergence check on the sum of
+    labels (monotonically decreasing -> cheap fixed-point detector).
+
+    Only nodes that appear in ``pairs`` are emitted; singleton documents
+    are their own group by definition and need no rows at scale.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+        .unionByName(pairs.select(F.col(id_b).alias("u"), F.col(id_a).alias("v")))
+        .distinct()
+        .cache()
+    )
+    labels = (
+        edges.select(F.col("u").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .cache()
+    )
+    prev_sum = labels.agg(F.sum("label")).first()[0]
+    for _ in range(50):  # diameter bound; near-dup components are shallow
+        neighbor_min = (
+            edges.join(labels, edges.v == labels.id)
+            .groupBy("u")
+            .agg(F.min("label").alias("nlabel"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.id == neighbor_min.u, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("label"), F.coalesce("nlabel", F.col("label"))
+                ).alias("label"),
+            )
+            .cache()
+        )
+        new_sum = new_labels.agg(F.sum("label")).first()[0]
+        labels.unpersist()
+        labels = new_labels
+        if new_sum == prev_sum:
+            break
+        prev_sum = new_sum
+    edges.unpersist()
+    return labels.select("id", F.col("label").alias("group_id")).orderBy("id")

@@ -129,3 +129,18 @@ def test_slide_detector_diagnostics(gauss2d):
     assert det.diagnostics[0]["window_size"] == 20
     assert det.diagnostics[-1]["window_size"] == 100  # W cap reached
     assert all(d["n_new"] == 20 for d in det.diagnostics)
+
+
+def test_dedup_groups_multihop_chain(spark):
+    """Label propagation must traverse chains (a-b, b-c, c-d => one
+    component labeled by the minimum id), not just direct edges."""
+    from approximate_anomaly_detection_in_data_streams_spark.operators.dedup import (
+        dedup_groups,
+    )
+
+    pairs = spark.createDataFrame(
+        [(10, 20), (20, 30), (30, 40), (100, 200), (7, 40)],
+        "id_a long, id_b long",
+    )
+    got = {r.id: r.group_id for r in dedup_groups(pairs).collect()}
+    assert got == {7: 7, 10: 7, 20: 7, 30: 7, 40: 7, 100: 100, 200: 100}
