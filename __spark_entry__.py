@@ -205,6 +205,65 @@ def q_window_hourly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_percentiles_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (the validator's
+    distribution-profile op; approx path uses percentile_approx)."""
+    li = _load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.expr("percentile(l_extendedprice, 0.25)"), 4).alias("p25"),
+            F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("p50"),
+            F.round(F.expr("percentile(l_extendedprice, 0.75)"), 4).alias("p75"),
+            F.round(F.expr("percentile(l_extendedprice, 0.99)"), 4).alias("p99"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+SESSION_GAP_S = 1800
+
+
+def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: per-user event runs split at >30-min gaps
+    (lag + cumulative-sum window functions; streaming analog is
+    session_window). Output: one row per session."""
+    from pyspark.sql.window import Window
+
+    ev = _load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # integer microseconds: exact on both engines (TIMESTAMP_NTZ cannot
+    # cast to numeric, and float epoch diffs would wobble at boundaries)
+    sess = (
+        ev.withColumn("prev_ts", F.lag("ts").over(w))
+        .withColumn(
+            "new_sess",
+            (
+                F.col("prev_ts").isNull()
+                | (
+                    F.expr("timestampdiff(MICROSECOND, prev_ts, ts)")
+                    > F.lit(SESSION_GAP_S * 1_000_000)
+                )
+            ).cast("int"),
+        )
+        .withColumn(
+            "sess_no",
+            F.sum("new_sess").over(
+                Window.partitionBy("user_id").orderBy("ts", "event_id")
+            ),
+        )
+    )
+    return (
+        sess.groupBy("user_id", "sess_no")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+            F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        )
+        .orderBy("user_id", "sess_no")
+    )
+
+
 # ---- dedup queries ----
 
 
@@ -364,6 +423,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_segment_revenue": q_join_segment_revenue,
         "pricing_summary": q_pricing_summary,
         "window_hourly_events": q_window_hourly_events,
+        "percentiles_lineitem": q_percentiles_lineitem,
+        "sessionize_events": q_sessionize_events,
         "exact_dups_documents": q_exact_dups_documents,
         "jaccard_pairs_documents": q_jaccard_pairs_documents,
         "dedup_groups": q_dedup_groups,
@@ -684,6 +745,33 @@ order by l_returnflag, l_linestatus
 select strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') as hour_start,
   event_type, count(*) as n, round(sum(value), 4) as sum_value
 from events group by 1, 2 order by hour_start, event_type
+""",
+        "percentiles_lineitem": """
+select l_returnflag,
+  round(quantile_cont(l_extendedprice, 0.25), 4) as p25,
+  round(quantile_cont(l_extendedprice, 0.5), 4) as p50,
+  round(quantile_cont(l_extendedprice, 0.75), 4) as p75,
+  round(quantile_cont(l_extendedprice, 0.99), 4) as p99
+from lineitem group by l_returnflag order by l_returnflag
+""",
+        "sessionize_events": f"""
+with g as (
+  select user_id, event_id, ts, value,
+    case when lag(ts) over (partition by user_id order by ts, event_id) is null
+         or date_diff('microseconds',
+              lag(ts) over (partition by user_id order by ts, event_id), ts)
+            > {SESSION_GAP_S}::bigint * 1000000
+         then 1 else 0 end as new_sess
+  from events
+), s as (
+  select *, sum(new_sess) over (partition by user_id order by ts, event_id
+                                rows unbounded preceding) as sess_no
+  from g
+)
+select user_id, cast(sess_no as bigint) as sess_no, count(*) as n_events,
+  round(sum(value), 4) as sum_value,
+  strftime(min(ts), '%Y-%m-%d %H:%M:%S') as session_start
+from s group by user_id, sess_no order by user_id, sess_no
 """,
         "exact_dups_documents": """
 select md5(text) as content_hash, count(*) as n_dup, min(doc_id) as min_id
