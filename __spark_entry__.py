@@ -723,8 +723,8 @@ select event_type as value, count(*) as n from events
 group by event_type having count(*) >= {HH_MIN} order by n desc, value
 """,
         "referential_orphans": """
-select count(*) as n_orphans from lineitem
-where l_orderkey not in (select o_orderkey from orders)
+select count(*) as n_orphans from lineitem l
+where not exists (select 1 from orders o where o.o_orderkey = l.l_orderkey)
 """,
         "join_segment_revenue": """
 select c_mktsegment, count(*) as n_orders, round(sum(o_totalprice), 2) as revenue

@@ -109,8 +109,19 @@ def psnr(a: np.ndarray, b: np.ndarray) -> float:
 def average_hash(pixels: np.ndarray, grid: int = 8) -> int:
     """64-bit perceptual average-hash: 8x8 block means thresholded at the
     global mean, row-major bit order, bit 63 kept clear (fits signed int64).
+
+    Images smaller than the grid on either axis are nearest-neighbor
+    upsampled (np.repeat) to at least ``grid`` pixels first — without this
+    the block reshape is undefined for h<8 or w<8, and a single tiny row
+    would otherwise crash a whole task (the module contract is decode
+    failures become row verdicts, never task failures).
     """
     h, w = pixels.shape
+    if h < grid or w < grid:
+        ry = -(-grid // h) if h < grid else 1
+        rx = -(-grid // w) if w < grid else 1
+        pixels = np.repeat(np.repeat(pixels, ry, axis=0), rx, axis=1)
+        h, w = pixels.shape
     bh, bw = max(h // grid, 1), max(w // grid, 1)
     trimmed = pixels[: bh * grid, : bw * grid].astype(np.float64)
     blocks = trimmed.reshape(grid, bh, grid, bw).mean(axis=(1, 3))

@@ -437,17 +437,27 @@ def embedding_neardup_pairs(
     return base.groupBy("g").applyInPandas(emit, pdf_schema).orderBy("id_a", "id_b")
 
 
-def dedup_groups(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b") -> DataFrame:
+def dedup_groups(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_rounds: int = 50,
+) -> DataFrame:
     """Connected components over a near-dup pair table: (id, group_id).
 
     group_id = the minimum member id of the component (the canonical
-    document a training pipeline keeps). Iterative min-label propagation:
-    each round every node adopts the smallest label among itself and its
-    neighbors; converges in O(diameter) rounds — near-dup components are
-    shallow (clusters of mutual duplicates), so a handful of rounds
-    suffices. Each round is two shuffles (edge join + min-agg); the loop
-    is driven from the driver with a convergence check on the sum of
-    labels (monotonically decreasing -> cheap fixed-point detector).
+    document a training pipeline keeps). Each round does min-label
+    propagation along edges followed by one pointer-jump (label <-
+    label(label)) — the jump halves the distance any label still has to
+    travel, so convergence is O(log diameter) rounds rather than
+    O(diameter): a 200-node chain closes in ~8 rounds instead of 200.
+    Every round's labels are ``localCheckpoint``-ed, truncating the
+    iterative join lineage (unchecked growth would blow up planning time
+    long before data size matters).
+
+    Convergence is detected on the label sum (strictly decreasing while
+    any label moves); exhausting ``max_rounds`` without a fixed point
+    raises instead of silently returning non-converged groups.
 
     Only nodes that appear in ``pairs`` are emitted; singleton documents
     are their own group by definition and need no rows at scale.
@@ -462,16 +472,19 @@ def dedup_groups(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b") -> Da
         edges.select(F.col("u").alias("id"))
         .distinct()
         .withColumn("label", F.col("id"))
-        .cache()
+        .localCheckpoint()
     )
     prev_sum = labels.agg(F.sum("label")).first()[0]
-    for _ in range(50):  # diameter bound; near-dup components are shallow
+    converged = prev_sum is None  # empty pair table
+    for _ in range(max_rounds):
+        if converged:
+            break
         neighbor_min = (
             edges.join(labels, edges.v == labels.id)
             .groupBy("u")
             .agg(F.min("label").alias("nlabel"))
         )
-        new_labels = (
+        stepped = (
             labels.join(neighbor_min, labels.id == neighbor_min.u, "left")
             .select(
                 "id",
@@ -479,13 +492,25 @@ def dedup_groups(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b") -> Da
                     F.col("label"), F.coalesce("nlabel", F.col("label"))
                 ).alias("label"),
             )
-            .cache()
+        )
+        # pointer jump: adopt the label of the node my label points to —
+        # labels always hold member ids, so the self-join is total
+        lmap = stepped.select(
+            F.col("id").alias("_lid"), F.col("label").alias("_llabel")
+        )
+        new_labels = (
+            stepped.join(lmap, stepped.label == lmap._lid, "left")
+            .select("id", F.coalesce("_llabel", "label").alias("label"))
+            .localCheckpoint()
         )
         new_sum = new_labels.agg(F.sum("label")).first()[0]
-        labels.unpersist()
         labels = new_labels
         if new_sum == prev_sum:
-            break
+            converged = True
         prev_sum = new_sum
     edges.unpersist()
+    if not converged:
+        raise RuntimeError(
+            f"dedup_groups did not converge within {max_rounds} rounds"
+        )
     return labels.select("id", F.col("label").alias("group_id")).orderBy("id")

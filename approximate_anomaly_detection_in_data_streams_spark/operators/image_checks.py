@@ -121,11 +121,21 @@ def _digest_same_shape(
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Vectorized (phash, features, stats) for a stack of same-shape
     images (n, h, w) uint8. Matches codec.average_hash and the per-image
-    feature math bit-for-bit (same reductions, float64 throughout)."""
+    feature math bit-for-bit (same reductions, float64 throughout).
+
+    Tiny images (h<8 or w<8) are nearest-neighbor upsampled for the hash
+    exactly like codec.average_hash (np.repeat per axis) so both paths stay
+    bit-identical; features keep using the ORIGINAL pixels."""
     n, h, w = mats.shape
     grid = 8
-    bh, bw = max(h // grid, 1), max(w // grid, 1)
-    trimmed = mats[:, : bh * grid, : bw * grid].astype(np.float64)
+    hash_mats = mats
+    if h < grid or w < grid:
+        ry = -(-grid // h) if h < grid else 1
+        rx = -(-grid // w) if w < grid else 1
+        hash_mats = np.repeat(np.repeat(mats, ry, axis=1), rx, axis=2)
+    _, hh_, ww_ = hash_mats.shape
+    bh, bw = max(hh_ // grid, 1), max(ww_ // grid, 1)
+    trimmed = hash_mats[:, : bh * grid, : bw * grid].astype(np.float64)
     blocks = trimmed.reshape(n, grid, bh, grid, bw).mean(axis=(2, 4))
     bits = blocks > blocks.mean(axis=(1, 2))[:, None, None]
     weights = (1 << np.arange(63, dtype=np.uint64))
@@ -207,8 +217,25 @@ def decode_digests(images: DataFrame, ordinal_col: str | None = None) -> DataFra
             off_buf = np.frombuffer(bin_arr.buffers()[1], dtype=np.int32)
             arr_off = bin_arr.offset
             offsets = off_buf[arr_off : arr_off + n + 1].astype(np.int64)
-            data = np.frombuffer(bin_arr.buffers()[2], dtype=np.uint8)
+            data_buf = bin_arr.buffers()[2]
+            # all-empty/all-null batches carry a None or zero-length data
+            # buffer; pad to >= 8 bytes so the clamped header gather below
+            # stays in-bounds (those rows fail has_header and become row
+            # verdicts, not IndexErrors)
+            data = (
+                np.frombuffer(data_buf, dtype=np.uint8)
+                if data_buf is not None
+                else np.zeros(0, dtype=np.uint8)
+            )
+            if len(data) < 8:
+                data = np.concatenate([data, np.zeros(8 - len(data), np.uint8)])
             lengths = offsets[1:] - offsets[:-1]
+            # null bytes rows: consult the validity bitmap — offsets of null
+            # slots are unspecified, so mask them out before any gather
+            null_mask = np.zeros(n, dtype=bool)
+            if bin_arr.null_count:
+                null_mask = bin_arr.is_null().to_numpy(zero_copy_only=False)
+                lengths = np.where(null_mask, 0, lengths)
 
             meta_w = cols["w"].to_numpy(zero_copy_only=False).astype(np.int64)
             meta_h = cols["h"].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -223,6 +250,7 @@ def decode_digests(images: DataFrame, ordinal_col: str | None = None) -> DataFra
 
             has_header = lengths >= 8
             reason_code[~has_header] = 1
+            reason_code[null_mask] = 5
             starts = offsets[:-1]
             hidx = starts[:, None] + np.arange(8)
             hdr = np.where(has_header[:, None], hidx, 0)
@@ -261,14 +289,22 @@ def decode_digests(images: DataFrame, ordinal_col: str | None = None) -> DataFra
                     idxs = gi[b0:b1]
                     w = int(ww[idxs[0]])
                     h = int(hh[idxs[0]])
-                    pidx = (starts[idxs] + 8)[:, None] + np.arange(w * h)
-                    stack = data[pidx].reshape(len(idxs), h, w)
-                    if magic_u32[idxs[0]] == _MAGIC_VALS[codec.MAGIC_QNT]:
-                        stack = (
-                            (stack.astype(np.uint16) << codec.QNT_SHIFT)
-                            + (1 << (codec.QNT_SHIFT - 1))
-                        ).clip(0, 255).astype(np.uint8)
-                    ph, fv, _ = _digest_same_shape(stack)
+                    try:
+                        pidx = (starts[idxs] + 8)[:, None] + np.arange(w * h)
+                        stack = data[pidx].reshape(len(idxs), h, w)
+                        if magic_u32[idxs[0]] == _MAGIC_VALS[codec.MAGIC_QNT]:
+                            stack = (
+                                (stack.astype(np.uint16) << codec.QNT_SHIFT)
+                                + (1 << (codec.QNT_SHIFT - 1))
+                            ).clip(0, 255).astype(np.uint8)
+                        ph, fv, _ = _digest_same_shape(stack)
+                    except Exception:
+                        # malformed-but-plausible group: a row verdict,
+                        # never a task failure (module contract)
+                        decode_ok[idxs] = False
+                        dims_ok[idxs] = False
+                        reason_code[idxs] = 4
+                        continue
                     phash_dec[idxs] = ph
                     dims_ok[idxs] = (meta_h[idxs] == h) & (meta_w[idxs] == w)
                     feat_mat[idxs] = fv
@@ -291,7 +327,9 @@ def decode_digests(images: DataFrame, ordinal_col: str | None = None) -> DataFra
             phash_ok = decode_ok & (phash_dec == stored_phash)
             reasons = np.array(["", "decode:truncated header",
                                 "decode:payload size mismatch",
-                                "decode:unknown magic"])[reason_code]
+                                "decode:unknown magic",
+                                "decode:digest error",
+                                "decode:null bytes"])[reason_code]
 
             ok_mask = decode_ok
             flat = feat_mat[ok_mask].ravel()

@@ -214,3 +214,60 @@ def test_run_validation_resumes_without_rework(spark, tmp_path):
             assert ledger3[k].finished_at == stamps1[k]
     # ledger reload from disk agrees
     assert set(load_ledger(ck)) == {"raw", "qnt", "jpeg"}
+
+
+# ---- malformed-row robustness (decode failures are row verdicts, never
+# task failures) ----
+
+
+def test_average_hash_tiny_images_no_crash():
+    for h, w in [(1, 1), (3, 5), (7, 64), (64, 2)]:
+        px = codec.synth_pixels(2, h * 100 + w, w, h)
+        v = codec.average_hash(px)
+        assert 0 <= v < 2**63
+        assert v == codec.average_hash(px.copy())
+
+
+def test_decode_digests_tiny_null_and_empty_rows(spark):
+    from approximate_anomaly_detection_in_data_streams_spark.operators.image_checks import (
+        decode_digests,
+    )
+
+    tiny = codec.synth_pixels(9, 1, 5, 3)  # 5x3: below the 8x8 hash grid
+    rows = [
+        ("img_000001", bytearray(codec.encode_raw(tiny)), 5, 3, "raw",
+         "cap", codec.average_hash(tiny)),
+        ("img_000002", None, 8, 8, "raw", "cap", 0),
+        ("img_000003", bytearray(b""), 8, 8, "raw", "cap", 0),
+        ("img_000004", bytearray(b"AB"), 8, 8, "raw", "cap", 0),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "image_id string, bytes binary, w int, h int, fmt string, "
+        "caption string, phash long",
+    )
+    got = {r.image_id: r for r in decode_digests(df).collect()}
+    assert len(got) == 4
+    ok = got["img_000001"]
+    assert ok.decode_ok and ok.dims_ok and ok.phash_ok
+    assert got["img_000002"].decode_ok is False
+    assert got["img_000002"].decode_reason == "decode:null bytes"
+    assert got["img_000003"].decode_ok is False
+    assert got["img_000004"].decode_ok is False
+    assert got["img_000004"].decode_reason == "decode:truncated header"
+
+
+def test_decode_digests_all_null_batch(spark):
+    from approximate_anomaly_detection_in_data_streams_spark.operators.image_checks import (
+        decode_digests,
+    )
+
+    df = spark.createDataFrame(
+        [("img_000001", None, 8, 8, "raw", "c", 0),
+         ("img_000002", None, 8, 8, "raw", "c", 0)],
+        "image_id string, bytes binary, w int, h int, fmt string, "
+        "caption string, phash long",
+    ).coalesce(1)
+    out = decode_digests(df).collect()
+    assert len(out) == 2
+    assert all(not r.decode_ok for r in out)

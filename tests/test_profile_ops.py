@@ -144,3 +144,18 @@ def test_dedup_groups_multihop_chain(spark):
     )
     got = {r.id: r.group_id for r in dedup_groups(pairs).collect()}
     assert got == {7: 7, 10: 7, 20: 7, 30: 7, 40: 7, 100: 100, 200: 100}
+
+
+def test_dedup_groups_deep_chain_converges_fast(spark):
+    """A 200-node path graph must converge via pointer jumping in
+    O(log n) rounds (max_rounds=12 would take 200 rounds without it)."""
+    from approximate_anomaly_detection_in_data_streams_spark.operators.dedup import (
+        dedup_groups,
+    )
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 200)], "id_a long, id_b long"
+    )
+    got = dedup_groups(pairs, max_rounds=12).collect()
+    assert len(got) == 200
+    assert all(r.group_id == 1 for r in got)
