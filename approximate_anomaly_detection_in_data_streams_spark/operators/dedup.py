@@ -392,33 +392,95 @@ def simhash_neardup_pairs(
     )
 
 
-def embedding_neardup_pairs(
-    df: DataFrame, id_col: str, vec_col: str, threshold: float = 0.95
-) -> DataFrame:
-    """All pairs with cosine similarity >= threshold (exact, blockwise).
+def _round_half_away(x: np.ndarray, decimals: int = 6) -> np.ndarray:
+    """Round half away from zero (SQL ROUND semantics — np.round is
+    half-to-even; the DuckDB oracle twin must see the identical value
+    before the threshold comparison)."""
+    scale = 10.0**decimals
+    return np.sign(x) * np.floor(np.abs(x) * scale + 0.5) / scale
 
-    Single-group applyInPandas with chunked NumPy matmul for the test-scale
-    path; the at-scale variant buckets by LSH sign-projections first
-    (operators/knn.py) so each task sees one bucket. Output:
-    (id_a, id_b, cosine) rounded to 6, ordered.
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.95,
+    n_blocks: int = 8,
+) -> DataFrame:
+    """All pairs with cosine similarity >= threshold (exact, distributed
+    2D block self-join).
+
+    Ids hash into ``n_blocks`` blocks; every unordered block pair
+    (bi <= bj) is one independent task whose kernel does a chunked NumPy
+    matmul over its two blocks — n_blocks*(n_blocks+1)/2 parallel tasks,
+    each bounded at (n/n_blocks)^2 work, instead of one driver-sized
+    all-pairs group. Exact-threshold semantics are inherently O(n^2)
+    work; the block grid distributes it evenly (no skew: blocks are
+    hash-assigned) and each row is replicated exactly n_blocks times.
+    For sub-quadratic *approximate* near-dup at corpus scale use the
+    SRP-bucketed path (operators/knn.py srp_ann_topk) — this operator is
+    the exact-semantics tier that backs the DuckDB oracle.
+
+    The cosine is rounded to 6 decimals half-away-from-zero BEFORE the
+    threshold test, matching the SQL twin's round()-then-filter exactly.
+    Output: (id_a, id_b, cosine) with id_a < id_b, ordered.
     """
     pdf_schema = "id_a long, id_b long, cosine double"
+    base = df.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.col(vec_col).alias("vec"),
+        F.pmod(F.xxhash64(F.col(id_col).cast("long")), F.lit(n_blocks))
+        .cast("int")
+        .alias("blk"),
+    )
+    # fan each row out to the n_blocks tasks (its block paired with every
+    # block, unordered): row count * n_blocks, bounded and uniform
+    pair_keys = F.array(
+        *[
+            F.struct(
+                F.least(F.lit(o), F.col("blk")).alias("gi"),
+                F.greatest(F.lit(o), F.col("blk")).alias("gj"),
+            )
+            for o in range(n_blocks)
+        ]
+    )
+    fanned = base.select(
+        "id", "vec", "blk", F.explode(pair_keys).alias("t")
+    ).select("id", "vec", "blk", "t.gi", "t.gj")
 
-    def emit(pdf: pd.DataFrame) -> pd.DataFrame:
+    def emit(key, pdf):
+        gi, gj = int(key[0]), int(key[1])
         ids = pdf["id"].to_numpy()
+        blk = pdf["blk"].to_numpy()
         X = np.stack(pdf["vec"].to_numpy()).astype(np.float64)
         norms = np.linalg.norm(X, axis=1)
         norms[norms == 0] = 1.0
         Xn = X / norms[:, None]
+        if gi == gj:
+            a_idx = np.arange(len(ids))
+            b_idx = a_idx
+        else:
+            a_idx = np.flatnonzero(blk == gi)
+            b_idx = np.flatnonzero(blk == gj)
         out_a, out_b, out_c = [], [], []
         chunk = 2048
-        for s in range(0, len(ids), chunk):
-            block = Xn[s : s + chunk] @ Xn.T
+        B = Xn[b_idx]
+        ids_b = ids[b_idx]
+        for s in range(0, len(a_idx), chunk):
+            rows = a_idx[s : s + chunk]
+            block = _round_half_away(Xn[rows] @ B.T)
             ai, bj = np.nonzero(block >= threshold)
-            keep = (ai + s) < bj
-            out_a.append(ids[ai[keep] + s])
-            out_b.append(ids[bj[keep]])
-            out_c.append(block[ai[keep], bj[keep]])
+            ia, ib = ids[rows][ai], ids_b[bj]
+            keep = ia != ib
+            ia, ib, c = ia[keep], ib[keep], block[ai[keep], bj[keep]]
+            lo = np.minimum(ia, ib)
+            hi = np.maximum(ia, ib)
+            if gi == gj:  # each unordered pair appears twice in the diag task
+                keep2 = ia < ib
+                lo, hi, c = lo[keep2], hi[keep2], c[keep2]
+            out_a.append(lo)
+            out_b.append(hi)
+            out_c.append(c)
         if not out_a:
             return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []}).astype(
                 {"id_a": "int64", "id_b": "int64", "cosine": "float64"}
@@ -427,14 +489,15 @@ def embedding_neardup_pairs(
             {
                 "id_a": np.concatenate(out_a),
                 "id_b": np.concatenate(out_b),
-                "cosine": np.round(np.concatenate(out_c), 6),
+                "cosine": np.concatenate(out_c),
             }
         )
 
-    base = df.select(
-        F.col(id_col).cast("long").alias("id"), F.col(vec_col).alias("vec")
-    ).withColumn("g", F.lit(0))
-    return base.groupBy("g").applyInPandas(emit, pdf_schema).orderBy("id_a", "id_b")
+    return (
+        fanned.groupBy("gi", "gj")
+        .applyInPandas(emit, pdf_schema)
+        .orderBy("id_a", "id_b")
+    )
 
 
 def dedup_groups(

@@ -159,3 +159,30 @@ def test_dedup_groups_deep_chain_converges_fast(spark):
     got = dedup_groups(pairs, max_rounds=12).collect()
     assert len(got) == 200
     assert all(r.group_id == 1 for r in got)
+
+
+def test_embedding_neardup_blocked_equals_bruteforce(spark):
+    """The 2D block self-join must emit exactly the brute-force pair set
+    (exact semantics, just distributed over block-pair tasks)."""
+    import numpy as np
+    from approximate_anomaly_detection_in_data_streams_spark.operators.dedup import (
+        _round_half_away,
+        embedding_neardup_pairs,
+    )
+
+    rng = np.random.default_rng(3)
+    X = rng.normal(size=(120, 16))
+    rows = [(int(i), [float(v) for v in X[i]]) for i in range(len(X))]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {
+        (r.id_a, r.id_b): r.cosine
+        for r in embedding_neardup_pairs(df, "vec_id", "embedding", 0.3, n_blocks=4).collect()
+    }
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    C = _round_half_away(Xn @ Xn.T)
+    exp = {}
+    for i in range(len(X)):
+        for j in range(i + 1, len(X)):
+            if C[i, j] >= 0.3:
+                exp[(i, j)] = C[i, j]
+    assert got == exp and len(exp) > 0
