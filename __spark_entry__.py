@@ -91,11 +91,20 @@ def q_lshod_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_detector_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Recall of the LSH variant vs exact (J7/X4 comparator) — rows-only."""
+    """Recall of the LSH variant vs exact (J7/X4 comparator).
+
+    LSH candidate loss only *lowers* neighbor counts, so the approximate
+    outlier set is a structural superset of the exact one and recall is
+    1.0 by construction (operators/lsh.py module docstring). That makes
+    the row oracle-checkable from the exact-detector CTE alone: the SQL
+    twin asserts n_common == n_baseline — any LSHOD change that loses an
+    exact outlier breaks the hash match. (n_test/precision are LSH-seed-
+    dependent and stay out of the oracle row.)
+    """
     pts = _event_points(spark, sf_dir)
     exact = run_detector(pts, _det_cfg()).outliers
     approx = run_detector(pts, _det_cfg("lshod")).outliers
-    return recall_op(exact, approx)
+    return recall_op(exact, approx).select("n_baseline", "n_common", "recall")
 
 
 # ---- validator profile queries (M3: stats, nulls, uniqueness, FK, HH) ----
@@ -278,14 +287,21 @@ def q_jaccard_pairs_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_minhash_pairs_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-banded near-dup join (rows-only; seeded xxhash64 not in DuckDB)."""
+    """MinHash-banded near-dup join. Oracle = the exact-Jaccard SQL twin:
+    the default band/perm sizing makes recall 1.0 at threshold 0.7 up to
+    ~1e-6 (operators/dedup.py docstring), and the exact shingle verify
+    gives precision 1.0 — so the banded output equals the exact pair set
+    at oracle scale."""
     return dedup_ops.minhash_lsh_pairs(
         _load(spark, sf_dir, "documents"), "doc_id", "text", JACCARD_N, threshold=JACCARD_T
     )
 
 
 def q_simhash_pairs_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash pigeonhole near-dup join (rows-only)."""
+    """SimHash pigeonhole near-dup join. Built on a portable md5-derived
+    60-bit hash, so the full signature + hamming join has an exact
+    all-pairs SQL twin (pigeonhole is lossless for hamming <= pieces-1;
+    buckets stay under the cap at oracle scale)."""
     return dedup_ops.simhash_neardup_pairs(
         _load(spark, sf_dir, "documents"), "doc_id", "text", max_hamming=3
     )
@@ -641,6 +657,55 @@ group by n.id order by n.id
 """
 
 
+def _simhash_sql() -> str:
+    n = JACCARD_N
+    return f"""
+with sh as (
+  select distinct doc_id as id, substr(text, s.b, {n}) as shingle
+  from documents,
+       unnest(generate_series(1, greatest(length(text) - {n - 1}, 1))) as s(b)
+  where length(substr(text, s.b, {n})) = {n}
+), hh as (
+  select id, ('0x' || substr(md5(shingle), 1, 15))::bigint as h from sh
+), bitsum as (
+  select id, t.b as b,
+         sum(case when (h >> t.b) & 1 = 1 then 1 else -1 end) as s
+  from hh, unnest(generate_series(0, 59)) as t(b)
+  group by 1, 2
+), sig as (
+  select id,
+         cast(sum(case when s > 0 then (1::bigint << b) else 0 end) as bigint)
+           as simhash
+  from bitsum group by id
+)
+select a.id as id_a, b.id as id_b,
+  cast(bit_count(xor(a.simhash, b.simhash)) as bigint) as hamming
+from sig a join sig b on a.id < b.id
+where bit_count(xor(a.simhash, b.simhash)) <= 3
+order by id_a, id_b
+"""
+
+
+def _detector_recall_sql() -> str:
+    """Exact-outlier CTE twin of q_detector_recall: recall is structurally
+    1.0 (LSHOD outliers are a superset of exact — see the query docstring),
+    so n_common must equal the exact baseline count."""
+    return (
+        _detector_core_sql()
+        + f"""
+, evals as (
+  select pb.id, coalesce(c.cnt_end, 0) >= {DET_K} as is_inlier
+  from pb left join counts c on c.id = pb.id and c.b = pb.b
+), outl as (
+  select id from evals group by id having max(is_inlier) = false
+)
+select count(*) as n_baseline, count(*) as n_common,
+       cast(1.0 as double) as recall
+from outl
+"""
+    )
+
+
 def _embedding_neardup_sql() -> str:
     return f"""
 with v as (
@@ -778,6 +843,9 @@ select md5(text) as content_hash, count(*) as n_dup, min(doc_id) as min_id
 from documents group by 1 having count(*) > 1 order by n_dup desc, min_id
 """,
         "jaccard_pairs_documents": _jaccard_sql(),
+        "minhash_pairs_documents": _jaccard_sql(),
+        "simhash_pairs_documents": _simhash_sql(),
+        "detector_recall": _detector_recall_sql(),
         "dedup_groups": _dedup_groups_sql(),
         "embedding_neardup": _embedding_neardup_sql(),
         "knn_bruteforce": _knn_sql(),

@@ -162,12 +162,12 @@ def minhash_lsh_pairs(
     id_col: str,
     text_col: str,
     n: int = 3,
-    num_perm: int = 64,
-    bands: int = 16,
+    num_perm: int = 96,
+    bands: int = 32,
     threshold: float = 0.5,
     seed: int = 42,
-    bucket_cap: int | None = 500,
-    est_margin: float = 0.15,
+    bucket_cap: int | None = 4000,
+    est_margin: float = 0.25,
 ) -> DataFrame:
     """Near-dup candidate pairs via MinHash banding + exact Jaccard verify.
 
@@ -187,6 +187,14 @@ def minhash_lsh_pairs(
 
     Surviving candidates are verified with the exact shingle Jaccard, so
     output precision is 1.0; banding/cap/estimate only affect recall.
+
+    Default parameters (96 perms, 32 bands x 3 rows, estimate cut at
+    threshold - 0.25) are sized so recall at the default-and-driver
+    threshold 0.7 is 1.0 up to negligible probability: a true pair at
+    j = 0.7 misses every band with (1 - 0.7^3)^32 ~ 1.4e-6 and fails the
+    estimate cut with P[Binom(96, 0.7) < 0.45*96] ~ 5e-8 — which is what
+    lets the exact-Jaccard SQL serve as this operator's oracle at test
+    scale (uncapped buckets there).
     Output: (id_a, id_b, jaccard) ordered.
     """
     rows = num_perm // bands
@@ -287,11 +295,17 @@ def minhash_lsh_pairs(
     # Verify candidates only: join each side to its shingle *set* and take
     # array_intersect — work is O(#candidates x shingles/doc), never the
     # all-pairs inverted-index blow-up (hot shingles would make that
-    # sum(df^2) at corpus scale).
+    # sum(df^2) at corpus scale). Sets are 64-bit shingle hashes, not
+    # strings: long-array intersection skips per-element string hashing
+    # (~4x on template-heavy corpora where millions of moderate-similarity
+    # candidates reach the verify); jaccard over hashed sets equals string
+    # jaccard up to 64-bit collisions (~1e-9 at millions of distinct
+    # shingles, and deterministic under the seed either way).
     shingle_sets = (
         char_shingles(df, id_col, text_col, n)
+        .select("id", F.xxhash64("shingle", F.lit(seed)).alias("h"))
         .groupBy("id")
-        .agg(F.collect_set("shingle").alias("sh"))
+        .agg(F.sort_array(F.collect_set("h")).alias("sh"))
     )
     # broadcast the per-doc set table: candidates stream map-side and the
     # multi-KB set payloads are never duplicated per pair through a
@@ -318,17 +332,29 @@ def minhash_lsh_pairs(
     )
 
 
+SIMHASH_BITS = 60  # 15 md5 hex chars -> portable to the DuckDB oracle
+
+
 def simhash_signatures(
-    df: DataFrame, id_col: str, text_col: str, n: int = 3, seed: int = 42
+    df: DataFrame, id_col: str, text_col: str, n: int = 3
 ) -> DataFrame:
-    """64-bit SimHash per document from char-shingle hashes (JVM-only).
+    """60-bit SimHash per document from char-shingle hashes (JVM-only).
 
     Bit b of the signature is 1 iff more shingles hash with bit b set than
-    not. Computed as 64 conditional sums over the exploded shingle table —
+    not. Computed as 60 conditional sums over the exploded shingle table —
     one groupBy(id), map-side combinable.
+
+    The shingle hash is the first 15 hex chars of md5 parsed as an integer
+    — a *portable* hash both engines implement identically (Spark:
+    conv(substr(md5, 1, 15), 16, 10); DuckDB: ('0x' || substr)::bigint),
+    which is what lets the pigeonhole join carry an exact SQL oracle
+    (xxhash64 seeds are Spark-private).
     """
     sh = char_shingles(df, id_col, text_col, n).select(
-        "id", F.xxhash64("shingle", F.lit(seed)).alias("h")
+        "id",
+        F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10)
+        .cast("long")
+        .alias("h"),
     )
     bit_sums = [
         F.sum(
@@ -336,28 +362,43 @@ def simhash_signatures(
                 F.shiftrightunsigned(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1
             ).otherwise(-1)
         ).alias(f"b{b}")
-        for b in range(64)
+        for b in range(SIMHASH_BITS)
     ]
     agg = sh.groupBy("id").agg(*bit_sums)
     sig = F.lit(0).cast("long")
-    for b in range(63):  # skip the sign bit to stay in non-negative longs
+    for b in range(SIMHASH_BITS):
         sig = sig + F.when(F.col(f"b{b}") > 0, F.lit(1 << b)).otherwise(0)
     return agg.select("id", sig.alias("simhash"))
 
 
 def simhash_neardup_pairs(
-    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3, seed: int = 42
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    seed: int = 42,
+    bucket_cap: int | None = 500,
 ) -> DataFrame:
     """Pairs with SimHash hamming distance <= max_hamming.
 
-    Pigeonhole: split 64 bits into (max_hamming+1) pieces; any pair within
+    Pigeonhole: split 60 bits into (max_hamming+1) pieces; any pair within
     distance d must match exactly on >= one piece — candidates come from
     equi-joins on (piece_idx, piece_value), then exact popcount verify.
+
+    ``bucket_cap`` bounds each (piece, value) bucket deterministically
+    (seeded xxhash64 order, same discipline as ``minhash_lsh_pairs``): a
+    heavily-duplicated corpus — exactly what dedup targets — concentrates
+    one piece-value, and an uncapped self-join goes quadratic on that key.
+    Capped members can only lose candidate pairs, so output stays a subset
+    with exact hamming values; the result is exact whenever no bucket
+    exceeds the cap (asserted by the oracle at test scale).
     Output: (id_a, id_b, hamming).
     """
+    from pyspark.sql.window import Window
+
     pieces = max_hamming + 1
-    width = 64 // pieces
-    sig = simhash_signatures(df, id_col, text_col, seed=seed)
+    width = SIMHASH_BITS // pieces
+    sig = simhash_signatures(df, id_col, text_col)
     piece_arr = F.array(
         *[
             F.struct(
@@ -372,6 +413,15 @@ def simhash_neardup_pairs(
     keyed = sig.select("id", "simhash", F.explode(piece_arr).alias("pk")).select(
         "id", "simhash", "pk.p", "pk.v"
     )
+    if bucket_cap is not None:
+        w = Window.partitionBy("p", "v").orderBy(
+            F.xxhash64("id", F.lit(seed)), "id"
+        )
+        keyed = (
+            keyed.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") <= bucket_cap)
+            .drop("_rn")
+        )
     cand = (
         keyed.alias("x")
         .join(keyed.alias("y"), ["p", "v"])
@@ -384,7 +434,7 @@ def simhash_neardup_pairs(
         )
         .distinct()
     )
-    hamming = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
+    hamming = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))).cast("long")
     return (
         cand.select("id_a", "id_b", hamming.alias("hamming"))
         .where(F.col("hamming") <= max_hamming)

@@ -186,3 +186,30 @@ def test_embedding_neardup_blocked_equals_bruteforce(spark):
             if C[i, j] >= 0.3:
                 exp[(i, j)] = C[i, j]
     assert got == exp and len(exp) > 0
+
+
+def test_simhash_bucket_cap_bounds_hot_buckets(spark):
+    """An adversarial corpus of near-identical docs concentrates one
+    (piece, value) key; the deterministic cap must bound the candidate
+    join (and capped output stays a subset with exact hamming values)."""
+    from approximate_anomaly_detection_in_data_streams_spark.operators.dedup import (
+        simhash_neardup_pairs,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog " * 4
+    rows = [(i, base + f" tail{i % 7}") for i in range(500)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    capped = simhash_neardup_pairs(
+        df, "doc_id", "text", max_hamming=3, bucket_cap=50
+    )
+    n_capped = capped.count()
+    # 7 distinct texts -> <= 7 values per piece; each capped bucket
+    # contributes at most C(50,2) candidate pairs over 4 pieces
+    assert 0 < n_capped <= 4 * 7 * (50 * 49 // 2)
+    full = simhash_neardup_pairs(
+        df, "doc_id", "text", max_hamming=3, bucket_cap=None
+    )
+    got_c = {(r.id_a, r.id_b): r.hamming for r in capped.collect()}
+    got_f = {(r.id_a, r.id_b): r.hamming for r in full.collect()}
+    assert set(got_c) <= set(got_f)
+    assert all(got_f[k] == v for k, v in got_c.items())
