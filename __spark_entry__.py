@@ -49,6 +49,10 @@ from approximate_anomaly_detection_in_data_streams_spark.operators.accuracy impo
 DET_W, DET_S, DET_R, DET_K = 400, 100, 15.0, 10
 DET_WS = DET_W // DET_S
 
+# ApproxMCOD bounded-state run: pd_limit < W forces evictions every full
+# window; ar = R/2 + 0.3*R is the promotion radius (X1/X2).
+APPROX_PD_LIMIT, APPROX_AR_FACTOR = 300, 0.3
+
 JACCARD_N, JACCARD_T = 3, 0.7
 COS_T = 0.4
 KNN_K, KNN_NQ = 5, 20
@@ -88,6 +92,24 @@ def q_mcod_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_lshod_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Seeded LSH approximate detector (J4/X3) — rows-only check."""
     return run_detector(_event_points(spark, sf_dir), _det_cfg("lshod")).outliers
+
+
+def q_approx_mcod_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-state ApproxMCOD analog (X1/X2): per-window pd_limit cap
+    with seeded safe-inlier-only eviction + ar promotion
+    (operators/approx_mcod.py). The eviction priority is a portable
+    md5-derived hash, so the SQL twin replays the identical choice —
+    the approximate detector is exactly oracle-checkable."""
+    cfg = DetectorConfig(
+        w=DET_W,
+        slide=DET_S,
+        r=DET_R,
+        k=DET_K,
+        algorithm="approx_mcod",
+        pd_limit=APPROX_PD_LIMIT,
+        ar_factor=APPROX_AR_FACTOR,
+    )
+    return run_detector(_event_points(spark, sf_dir), cfg).outliers
 
 
 def q_detector_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -428,6 +450,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "mcod_outliers": q_mcod_outliers,
         "mcod_stats": q_mcod_stats,
+        "approx_mcod_outliers": q_approx_mcod_outliers,
         "lshod_outliers": q_lshod_outliers,
         "detector_recall": q_detector_recall,
         "col_stats_lineitem": q_col_stats_lineitem,
@@ -657,6 +680,93 @@ group by n.id order by n.id
 """
 
 
+def _approx_mcod_sql() -> str:
+    """SQL twin of the bounded-active-set ApproxMCOD analog
+    (operators/approx_mcod.py): same portable md5 eviction priority, same
+    per-window safe-inlier eviction, arrival-vs-resident counting split,
+    and ar promotion."""
+    S, W, R, K = DET_S, DET_W, DET_R, DET_K
+    WS = DET_WS
+    PDL = APPROX_PD_LIMIT
+    AR = R / 2.0 + APPROX_AR_FACTOR * R
+    RMAX = max(R, AR)
+    return f"""
+with pts as (
+  select event_id + 1 as id, value, (event_id // {S}) + 1 as slide from events
+), nb as (
+  select cast(ceil(count(*) * 1.0 / {S}) as bigint) as b_total from pts
+), pb as (
+  select p.id, p.slide, p.value, x.b
+  from pts p, nb,
+       unnest(generate_series(p.slide, least(nb.b_total, p.slide + {WS - 1}))) as x(b)
+), pairsw as (
+  select a.b, a.id as i, b.id as j, a.slide as si, b.slide as sj,
+         abs(a.value - b.value) as dist
+  from pb a join pb b on a.b = b.b and a.id <> b.id
+  where abs(a.value - b.value) <= {RMAX}
+), ca as (
+  select b, i as id,
+         count(*) filter (where dist <= {R} and sj >= si) as count_after,
+         count(*) filter (where dist <= {R}) as cnt_full
+  from pairsw group by 1, 2
+), memb as (
+  select pb.b, pb.id, pb.slide,
+         coalesce(ca.count_after, 0) as count_after,
+         coalesce(ca.cnt_full, 0) as cnt_full,
+         ('0x' || substr(md5(cast(pb.id as varchar) || '_' || '42'), 1, 15))::bigint
+           as prio
+  from pb left join ca on ca.b = pb.b and ca.id = pb.id
+), wsz as (
+  select b, count(*) as m from memb group by 1
+), ev as (
+  select b, id from (
+    select memb.b, memb.id,
+           row_number() over (partition by memb.b order by prio, memb.id) as rk,
+           wsz.m - {PDL} as excess
+    from memb join wsz using (b)
+    where count_after >= {K}
+  ) where excess > 0 and rk <= excess
+), evw as (
+  select distinct b from ev
+), cnt_act as (
+  select p.b, p.i as id, count(*) as c
+  from pairsw p
+  left join ev on ev.b = p.b and ev.id = p.j
+  where p.dist <= {R} and ev.id is null
+  group by 1, 2
+), cnt_ar as (
+  select p.b, p.i as id, count(*) as c
+  from pairsw p
+  left join ev e1 on e1.b = p.b and e1.id = p.i
+  left join ev e2 on e2.b = p.b and e2.id = p.j
+  where p.dist <= {AR} and e1.id is null and e2.id is null
+  group by 1, 2
+), centers as (
+  select b, id from cnt_ar where c >= {K}
+), promoted as (
+  select distinct p.b, p.i as id
+  from pairsw p
+  join centers c on c.b = p.b and c.id = p.j
+  left join ev e1 on e1.b = p.b and e1.id = p.i
+  where p.dist <= {AR} and e1.id is null
+  union
+  select b, id from centers
+), evals as (
+  select m.b, m.id,
+    (case when e.id is not null then true
+          when m.slide = m.b then coalesce(c_act.c, 0) >= {K}
+          else m.cnt_full >= {K} end)
+    or (w.b is not null and pr.id is not null) as is_inlier
+  from memb m
+  left join ev e on e.b = m.b and e.id = m.id
+  left join cnt_act c_act on c_act.b = m.b and c_act.id = m.id
+  left join evw w on w.b = m.b
+  left join promoted pr on pr.b = m.b and pr.id = m.id
+)
+select id from evals group by id having max(is_inlier) = false order by id
+"""
+
+
 def _simhash_sql() -> str:
     n = JACCARD_N
     return f"""
@@ -763,6 +873,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "mcod_outliers": _mcod_outliers_sql(),
         "mcod_stats": _mcod_stats_sql(),
+        "approx_mcod_outliers": _approx_mcod_sql(),
         "col_stats_lineitem": _col_stats_sql(),
         "null_profile_orders": """
 select count(*) as n_rows,
