@@ -2,11 +2,12 @@
 
 The production table shape (BASELINE.json input_hint) carries opaque image
 ``bytes`` with typed metadata. Real decoders (PIL/libjpeg) are not in this
-container, so the engine ships two REAL tiny codecs (lossless "raw" and
-quantization-lossy "qnt" whose reconstruction PSNR is provably >= 40 dB)
-plus a clearly-marked STUB for "jpeg" — the Spark-side plumbing (schema,
-batching, UDF signatures) is identical for all three, so swapping in a real
-decoder is a one-function change.
+container, so the engine ships three REAL tiny codecs: lossless "raw",
+quantization-lossy "qnt", and a JPEG-family 8x8 block-DCT codec for
+"jpeg" (both lossy formats reconstruct at PSNR provably >= 40 dB, so the
+input_hint's lossy fidelity invariant is exercised end-to-end). The
+Spark-side plumbing (schema, batching, UDF signatures) is codec-agnostic —
+swapping in libjpeg in production is a one-function change.
 
 Everything is deterministic: pixels, captions, and hashes derive from
 (seed, image ordinal) only. No Spark imports here — unit-testable directly.
@@ -41,22 +42,49 @@ def encode_qnt(pixels: np.ndarray) -> bytes:
     return header + (pixels.astype(np.uint8) >> QNT_SHIFT).tobytes()
 
 
-def encode_jpeg_stub(pixels: np.ndarray) -> bytes:
-    """STUB for a real JPEG encoder (lib unavailable in this container).
+JPEG_Q = 4  # uniform coefficient quantization step; see encode_jpeg
 
-    Stores a deterministic 8-byte digest of the pixels as the payload so
-    the stub decoder can regenerate a deterministic fake image of the right
-    shape. Replace encode/decode with imageio/PIL calls in production.
+
+def _dct8() -> np.ndarray:
+    """Orthonormal 8x8 DCT-II matrix (rows are the basis vectors)."""
+    k = np.arange(8)
+    D = np.cos((2 * k[None, :] + 1) * k[:, None] * np.pi / 16.0)
+    D[0] *= 1.0 / np.sqrt(2.0)
+    return D * 0.5  # orthonormal scaling: D @ D.T == I
+
+
+_DCT8 = _dct8()
+
+
+def _pad_to_8(h: int, w: int) -> tuple[int, int]:
+    return -(-h // 8) * 8, -(-w // 8) * 8
+
+
+def encode_jpeg(pixels: np.ndarray) -> bytes:
+    """Real lossy transform codec ("jpeg" fmt): 8x8 block DCT with uniform
+    coefficient quantization — a genuine JPEG-family codec in pure NumPy
+    (no entropy coding; payload size is not the point here, fidelity
+    semantics are).
+
+    The DCT is orthonormal, so quantization error variance per coefficient
+    (JPEG_Q^2/12 ~ 1.33) equals pixel-domain MSE; reconstruction PSNR is
+    ~46 dB, comfortably above the validator's 40 dB lossy gate — the
+    input_hint's "decoded-pixel allclose (PSNR >= 40 dB for lossy)"
+    invariant is exercised for real on this format (no stub bypass).
+    Deterministic; edge blocks are replicate-padded and cropped on decode.
     """
     h, w = pixels.shape
-    digest = np.int64(
-        int(np.int64(pixels.astype(np.int64).sum()) * 1103515245 + 12345)
-        & 0x7FFFFFFFFFFFFFFF
+    ph, pw = _pad_to_8(h, w)
+    img = np.pad(
+        pixels.astype(np.float64), ((0, ph - h), (0, pw - w)), mode="edge"
     )
+    blocks = img.reshape(ph // 8, 8, pw // 8, 8)
+    coeffs = np.einsum("ij,ajbk,lk->aibl", _DCT8, blocks, _DCT8)
+    q = np.round(coeffs / JPEG_Q).astype("<i2")
     return (
         MAGIC_JPEG
         + np.array([w, h], dtype="<u2").tobytes()
-        + digest.astype("<i8").tobytes()
+        + q.reshape(ph, pw).tobytes()
     )
 
 
@@ -87,12 +115,15 @@ def decode(data: bytes) -> np.ndarray:
             0, 255
         ).astype(np.uint8)
     if magic == MAGIC_JPEG:
-        if len(payload) != 8:
-            raise DecodeError("jpeg stub payload size mismatch")
-        # STUB: deterministic fake pixels seeded by the stored digest.
-        digest = int(np.frombuffer(payload, dtype="<i8")[0])
-        rng = np.random.default_rng(digest & 0xFFFFFFFF)
-        return rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+        ph, pw = _pad_to_8(h, w)
+        if len(payload) != ph * pw * 2:
+            raise DecodeError("jpeg payload size mismatch")
+        q = np.frombuffer(payload, dtype="<i2").astype(np.float64)
+        blocks = q.reshape(ph // 8, 8, pw // 8, 8) * JPEG_Q
+        img = np.einsum("ji,ajbk,kl->aibl", _DCT8, blocks, _DCT8)
+        return (
+            img.reshape(ph, pw)[:h, :w].round().clip(0, 255).astype(np.uint8)
+        )
     raise DecodeError(f"unknown magic {magic!r}")
 
 

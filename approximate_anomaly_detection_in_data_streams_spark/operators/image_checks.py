@@ -64,22 +64,15 @@ def _check_batch(
             else:
                 if pixels is not None:
                     magic = bytes(row.bytes)[:4]
-                    if magic == codec.MAGIC_JPEG:
-                        # STUB codec: decode is a deterministic stand-in,
-                        # not a faithful reconstruction — fidelity compare
-                        # is meaningless until a real decoder is plugged
-                        # in. Structural checks above still apply.
-                        pass
-                    else:
-                        ref_pixels = codec.decode(bytes(row.ref_bytes))
-                        p = codec.psnr(pixels, ref_pixels)
-                        pixels_ok = (
-                            bool(np.array_equal(pixels, ref_pixels))
-                            if magic == codec.MAGIC_RAW
-                            else bool(p >= PSNR_MIN_DB)
-                        )
-                        if not pixels_ok:
-                            reason.append(f"psnr:{p:.1f}")
+                    ref_pixels = codec.decode(bytes(row.ref_bytes))
+                    p = codec.psnr(pixels, ref_pixels)
+                    pixels_ok = (
+                        bool(np.array_equal(pixels, ref_pixels))
+                        if magic == codec.MAGIC_RAW
+                        else bool(p >= PSNR_MIN_DB)
+                    )
+                    if not pixels_ok:
+                        reason.append(f"psnr:{p:.1f}")
                 else:
                     pixels_ok = False
                 if row.caption != row.ref_caption:
@@ -110,7 +103,7 @@ COMBINED_SCHEMA = CHECK_SCHEMA + ", ordinal long, features array<double>"
 DIGEST_SCHEMA = (
     "image_id string, fmt string, caption string, ordinal long, "
     "decode_ok boolean, dims_ok boolean, phash_ok boolean, phash_dec long, "
-    "is_stub boolean, decode_reason string, features array<double>"
+    "decode_reason string, features array<double>"
 )
 
 PSNR_SCHEMA = "image_id string, psnr double, pixels_equal boolean"
@@ -198,7 +191,6 @@ def decode_digests(images: DataFrame, ordinal_col: str | None = None) -> DataFra
             ("dims_ok", pa.bool_()),
             ("phash_ok", pa.bool_()),
             ("phash_dec", pa.int64()),
-            ("is_stub", pa.bool_()),
             ("decode_reason", pa.string()),
             ("features", pa.list_(pa.float64())),
         ]
@@ -243,7 +235,6 @@ def decode_digests(images: DataFrame, ordinal_col: str | None = None) -> DataFra
 
             decode_ok = np.ones(n, dtype=bool)
             dims_ok = np.ones(n, dtype=bool)
-            is_stub = np.zeros(n, dtype=bool)
             phash_dec = np.full(n, -1, dtype=np.int64)
             feat_mat = np.full((n, 2 + N_HIST_BINS), np.nan)
             reason_code = np.zeros(n, dtype=np.int8)  # 0 ok, 1 header, 2 size, 3 magic
@@ -271,8 +262,15 @@ def decode_digests(images: DataFrame, ordinal_col: str | None = None) -> DataFra
             bad_size = is_rawq & (~plausible | ~size_ok)
             reason_code[bad_size] = 2
             good_rawq = is_rawq & plausible & size_ok
+            # jpeg payload: int16 DCT coefficients of the 8-padded dims
+            pw8 = ((ww + 7) // 8) * 8
+            phh8 = ((hh + 7) // 8) * 8
+            jsize_ok = lengths - 8 == pw8 * phh8 * 2
+            bad_jsize = is_jpeg & (~plausible | ~jsize_ok)
+            reason_code[bad_jsize] = 2
+            good_jpeg = is_jpeg & plausible & jsize_ok
 
-            failed = ~has_header | bad_magic | bad_size
+            failed = ~has_header | bad_magic | bad_size | bad_jsize
             decode_ok[failed] = False
             dims_ok[failed] = False
 
@@ -309,20 +307,47 @@ def decode_digests(images: DataFrame, ordinal_col: str | None = None) -> DataFra
                     dims_ok[idxs] = (meta_h[idxs] == h) & (meta_w[idxs] == w)
                     feat_mat[idxs] = fv
 
-            # rare stub rows: per-row fallback
-            for i in np.flatnonzero(is_jpeg):
-                blob = data[offsets[i] : offsets[i + 1]].tobytes()
-                try:
-                    pixels = codec.decode(blob)
-                except codec.DecodeError:
-                    decode_ok[i] = dims_ok[i] = False
-                    reason_code[i] = 2
-                    continue
-                is_stub[i] = True
-                dims_ok[i] = pixels.shape == (meta_h[i], meta_w[i])
-                ph, fv, _ = _digest_same_shape(pixels[None, :, :])
-                phash_dec[i] = ph[0]
-                feat_mat[i] = fv[0]
+            # jpeg rows: same shape-grouped stack strategy, with the
+            # block-DCT inverse vectorized across the whole group
+            if good_jpeg.any():
+                gi = np.flatnonzero(good_jpeg)
+                key = (ww[gi] << 17) | hh[gi]
+                order = np.argsort(key, kind="stable")
+                gi = gi[order]
+                key = key[order]
+                bounds = np.flatnonzero(np.concatenate(([True], key[1:] != key[:-1])))
+                bounds = np.append(bounds, len(gi))
+                D = codec._DCT8
+                for b0, b1 in zip(bounds[:-1], bounds[1:]):
+                    idxs = gi[b0:b1]
+                    w = int(ww[idxs[0]])
+                    h = int(hh[idxs[0]])
+                    pw, ph_ = int(pw8[idxs[0]]), int(phh8[idxs[0]])
+                    try:
+                        pidx = (starts[idxs] + 8)[:, None] + np.arange(pw * ph_ * 2)
+                        raw = data[pidx]
+                        coeffs = (
+                            raw.view("<i2")
+                            .astype(np.float64)
+                            .reshape(len(idxs), ph_ // 8, 8, pw // 8, 8)
+                            * codec.JPEG_Q
+                        )
+                        img = np.einsum("ji,najbk,kl->naibl", D, coeffs, D)
+                        stack = (
+                            img.reshape(len(idxs), ph_, pw)[:, :h, :w]
+                            .round()
+                            .clip(0, 255)
+                            .astype(np.uint8)
+                        )
+                        ph, fv, _ = _digest_same_shape(stack)
+                    except Exception:
+                        decode_ok[idxs] = False
+                        dims_ok[idxs] = False
+                        reason_code[idxs] = 4
+                        continue
+                    phash_dec[idxs] = ph
+                    dims_ok[idxs] = (meta_h[idxs] == h) & (meta_w[idxs] == w)
+                    feat_mat[idxs] = fv
 
             phash_ok = decode_ok & (phash_dec == stored_phash)
             reasons = np.array(["", "decode:truncated header",
@@ -350,7 +375,6 @@ def decode_digests(images: DataFrame, ordinal_col: str | None = None) -> DataFra
                     pa.array(dims_ok),
                     pa.array(phash_ok),
                     pa.array(phash_dec),
-                    pa.array(is_stub),
                     pa.array(reasons),
                     features_arr,
                 ],
@@ -451,9 +475,7 @@ def row_checks_and_features(
         digests.join(ref_digest, "image_id", "left")
         .withColumn("_has_ref", F.col("_ref_phash").isNotNull())
         .withColumn(
-            "_digest_match",
-            F.col("is_stub")
-            | (F.col("phash_dec") == F.col("_ref_phash")),
+            "_digest_match", F.col("phash_dec") == F.col("_ref_phash")
         )
     )
     disagreed = base.where(

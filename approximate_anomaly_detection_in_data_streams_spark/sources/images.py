@@ -124,7 +124,7 @@ def _encode(fmt: str, pixels: np.ndarray) -> bytes:
         return codec.encode_raw(pixels)
     if fmt == "qnt":
         return codec.encode_qnt(pixels)
-    return codec.encode_jpeg_stub(pixels)
+    return codec.encode_jpeg(pixels)
 
 
 def _row(cfg: ImageTableConfig, idx: int) -> dict:

@@ -271,3 +271,20 @@ def test_decode_digests_all_null_batch(spark):
     out = decode_digests(df).collect()
     assert len(out) == 2
     assert all(not r.decode_ok for r in out)
+
+
+def test_jpeg_dct_roundtrip_psnr_above_40db():
+    """The jpeg fmt is a real 8x8 block-DCT codec: reconstruction PSNR
+    must clear the validator's lossy gate on every image, including
+    non-multiple-of-8 and tiny shapes."""
+    worst = float("inf")
+    for idx in range(30):
+        w = 17 + (idx * 13) % 90
+        h = 9 + (idx * 7) % 70
+        px = codec.synth_pixels(3, idx, w, h)
+        rec = codec.decode(codec.encode_jpeg(px))
+        assert rec.shape == px.shape
+        worst = min(worst, codec.psnr(px, rec))
+    assert worst >= 40.0
+    with pytest.raises(codec.DecodeError):
+        codec.decode(codec.encode_jpeg(codec.synth_pixels(1, 1, 16, 16))[:-3])
