@@ -10,11 +10,10 @@ Two layers:
     flags; everything else is recomputed per batch (the event queue /
     micro-cluster machinery exists only to speed up single-threaded
     incrementality — SURVEY.md section 4).
-  * ``run_structured_stream`` — Structured Streaming wrapper: a file
-    stream of point batches drives the same engine via ``foreachBatch``
-    (micro-batch = slide). State is held per stream-partition key; this
-    single-key demo holds it in the driver loop, the same shape
-    ``applyInPandasWithState`` distributes per key at scale.
+  * ``run_structured_stream`` — Structured Streaming wrapper over the
+    distributed keyed dataflow (streaming/keyed.py): state lives in
+    Spark's state store via ``applyInPandasWithState``, one SlideDetector
+    per key, no driver-side collect anywhere in the plan.
 
 Verified equivalent to the batch detector (tests/test_streaming.py):
 same pure-outlier set, same lifetime stats.
@@ -190,61 +189,42 @@ def run_structured_stream(
     checkpoint_dir: str,
     dim: int,
 ) -> dict:
-    """Structured Streaming driver: file-source micro-batches (one file per
-    slide) -> foreachBatch -> incremental SlideDetector.
+    """Structured Streaming driver for a single unkeyed point stream.
 
-    The count-based semantics order the stream by id (arrival ordinal,
-    /root/reference/src/core/OutlierDetector.java:10), so the driver
-    re-sequences whatever micro-batch slicing the source produces: rows
-    buffer until a full slide's id-range is present, then complete slides
-    process in order; the final flush drains the partial tail. This makes
-    the result independent of file listing order and trigger boundaries.
-    Returns the final flush result after availableNow drains the source.
+    Thin wrapper over the DISTRIBUTED keyed dataflow (streaming/keyed.py,
+    ``applyInPandasWithState`` holding one SlideDetector per key in the
+    state store — no ``collect()`` anywhere in the plan): the unkeyed
+    stream becomes one key, a sentinel file (id = -n_total, derived from a
+    batch scan of the same directory) marks the finite stream's end, and
+    the keyed flush returns the same result dict the old driver-side loop
+    produced. ``dim`` is kept for signature compatibility; the schema
+    carries it.
     """
-    from pyspark.sql import types as T
+    import json as _json
+    import os
 
-    schema = T.StructType(
-        [
-            T.StructField("id", T.LongType()),
-            T.StructField("features", T.ArrayType(T.DoubleType())),
-        ]
+    from pyspark.sql import functions as F
+
+    from .keyed import INPUT_SCHEMA, run_keyed_structured_stream
+
+    point_schema = "id long, features array<double>"
+    n_total = (
+        spark.read.schema(point_schema).json(input_dir).agg(F.max("id")).first()[0]
     )
-    det = SlideDetector(cfg)
-    pending: dict[int, list] = {}
-    next_id = [1]
-
-    def drain(final: bool = False) -> None:
-        S = cfg.slide
-        while pending:
-            slide_ids = list(range(next_id[0], next_id[0] + S))
-            have = [i for i in slide_ids if i in pending]
-            if len(have) < S:
-                if not (final and have == slide_ids[: len(have)] and have):
-                    return
-                slide_ids = have  # partial last slide at end of stream
-            if any(i not in pending for i in slide_ids):
-                return
-            ids = np.array(slide_ids, dtype=np.int64)
-            X = np.stack([pending.pop(i) for i in slide_ids])
-            det.process_batch(ids, X)
-            next_id[0] = slide_ids[-1] + 1
-
-    def step(batch_df, batch_id):
-        for row in batch_df.collect():
-            pending[int(row["id"])] = np.asarray(row["features"], dtype=np.float64)
-        drain()
-
-    stream = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1)
+    staged = os.path.join(checkpoint_dir, "_keyed_input")
+    os.makedirs(staged, exist_ok=True)
+    (
+        spark.read.schema(point_schema)
         .json(input_dir)
+        .select(F.lit("_").alias("key"), "id", "features")
+        .write.mode("overwrite")
+        .json(staged)
     )
-    q = (
-        stream.writeStream.foreachBatch(step)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
+    with open(os.path.join(staged, "zz_sentinel.json"), "w") as fh:
+        fh.write(
+            _json.dumps({"key": "_", "id": -int(n_total), "features": []}) + "\n"
+        )
+    res = run_keyed_structured_stream(
+        spark, staged, cfg, os.path.join(checkpoint_dir, "ck")
     )
-    q.awaitTermination()
-    drain(final=True)
-    return det.finish()
+    return res["_"]

@@ -64,3 +64,49 @@ def test_structured_stream_matches_batch_detector(
     )
     assert res["outliers"] == outliers
     assert res["n_only_outlier"] == stats["n_only_outlier"]
+
+
+def test_keyed_stream_matches_batch_per_key(spark, gauss2d, tmp_path):
+    """Distributed keyed streaming (applyInPandasWithState, one detector
+    per key in the state store, no collect() in the dataflow): each key's
+    outliers and lifetime stats must equal a standalone batch run on that
+    key's stream — with files interleaved across keys and out of order."""
+    from approximate_anomaly_detection_in_data_streams_spark.streaming.keyed import (
+        run_keyed_structured_stream,
+    )
+
+    streams = {"a": gauss2d[:600], "b": gauss2d[600:1400]}
+    src = tmp_path / "keyed_in"
+    src.mkdir()
+    # interleave keys and write slides out of order within each key
+    seq = 0
+    for key, X in streams.items():
+        order = list(range(0, len(X), CFG.slide))
+        order = order[1::2] + order[0::2]  # shuffle slide file order
+        for start in order:
+            with open(src / f"f_{seq:06d}_{key}.json", "w") as fh:
+                for i in range(start, min(start + CFG.slide, len(X))):
+                    fh.write(
+                        json.dumps(
+                            {
+                                "key": key,
+                                "id": i + 1,
+                                "features": [float(x) for x in X[i]],
+                            }
+                        )
+                        + "\n"
+                    )
+            seq += 1
+    # sentinels (finite-stream markers), deliberately not last on disk
+    with open(src / "a_sentinels.json", "w") as fh:
+        for key, X in streams.items():
+            fh.write(json.dumps({"key": key, "id": -len(X), "features": []}) + "\n")
+
+    got = run_keyed_structured_stream(spark, str(src), CFG, str(tmp_path / "ck2"))
+    assert set(got) == set(streams)
+    for key, X in streams.items():
+        ids = np.arange(1, len(X) + 1)
+        exp = run_slide_loop(ids, X, CFG)
+        assert got[key]["outliers"] == exp["outliers"]
+        for kk in ("n_only_inlier", "n_only_outlier", "n_both_inlier_outlier"):
+            assert got[key][kk] == exp[kk]
