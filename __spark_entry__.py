@@ -72,8 +72,10 @@ def _event_points(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _det_cfg(algorithm: str = "mcod") -> DetectorConfig:
     if algorithm == "lshod":
-        return lshod_config(DET_W, DET_S, DET_R, DET_K)
-    return DetectorConfig(w=DET_W, slide=DET_S, r=DET_R, k=DET_K, algorithm=algorithm)
+        return lshod_config(DET_W, DET_S, DET_R, DET_K, dim=1)
+    return DetectorConfig(
+        w=DET_W, slide=DET_S, r=DET_R, k=DET_K, algorithm=algorithm, dim=1
+    )
 
 
 # ---- detector queries (SURVEY.md §2.2-2.6: W1/P4/J1/A1-A6) ----

@@ -37,6 +37,11 @@ class DetectorConfig:
     num_tables: int = 10  # LSH tables
     bucket_width: float = 0.0  # LSH p-stable bucket width w; 0 -> derived from r
     seed: int = 42
+    # feature dimensionality; 0 = infer from the data. Carrying it here
+    # keeps plan construction free of driver-side actions (the reference
+    # probes the first stream object, src/core/Stream.java:16-22 — in
+    # Spark that probe would be an eager job per plan build).
+    dim: int = 0
 
     def __post_init__(self) -> None:
         if self.w <= 0 or self.slide <= 0:

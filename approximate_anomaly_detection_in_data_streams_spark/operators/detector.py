@@ -209,6 +209,58 @@ def per_point_verdicts(
     return joined
 
 
+def batch_diagnostics(points: DataFrame, cfg: DetectorConfig) -> DataFrame:
+    """Per-batch window diagnostics on the BATCH path — the analog of the
+    reference's per-batch DIAG prints and work counters (K3/A7,
+    /root/reference/src/algorithms/MCOD.java:320-332,
+    /root/reference/src/algorithms/MCODBase.java:79): one row per batch b
+    with the window population, arrivals, expiries, the end-evaluation
+    outlier count, and the pairwise-distance evaluations the recompute
+    kernel spends on that window (the batch analog of
+    nRangeQueriesExecuted). Matches the streaming engine's per-batch
+    diagnostics on (window_size, n_new) — tested in
+    tests/test_profile_ops.py.
+    """
+    pts = with_slide(points, cfg)
+    b_total = n_batches(points, cfg)
+    slide_counts = exact_neighbor_counts(pts, cfg)
+    counts = batch_counts(slide_counts, cfg, b_total)
+    pb = point_batches(pts, cfg, b_total)
+    evals = pb.join(counts, ["id", "b"], "left").select(
+        "b",
+        (F.coalesce("cnt_end", F.lit(0)) < F.lit(cfg.k)).cast("long").alias(
+            "is_out"
+        ),
+    )
+    per_b = evals.groupBy("b").agg(
+        F.count(F.lit(1)).alias("window_size"),
+        F.sum("is_out").alias("n_end_outliers"),
+    )
+    arrivals = pts.groupBy(F.col("slide").alias("b")).agg(
+        F.count(F.lit(1)).alias("n_new")
+    )
+    expiries = (
+        pts.groupBy((F.col("slide") + F.lit(cfg.ws)).alias("b"))
+        .agg(F.count(F.lit(1)).alias("n_expired"))
+        .where(F.col("b") <= b_total)
+    )
+    return (
+        per_b.join(arrivals, "b", "left")
+        .join(expiries, "b", "left")
+        .select(
+            "b",
+            "window_size",
+            F.coalesce("n_new", F.lit(0)).alias("n_new"),
+            F.coalesce("n_expired", F.lit(0)).alias("n_expired"),
+            "n_end_outliers",
+            (F.col("window_size") * (F.col("window_size") - 1)).alias(
+                "n_distance_evals"
+            ),
+        )
+        .orderBy("b")
+    )
+
+
 def detect(
     points: DataFrame, cfg: DetectorConfig, pairs: DataFrame | None = None
 ) -> DetectionResult:

@@ -34,70 +34,6 @@ FEATURE_SCHEMA = "image_id string, ordinal long, features array<double>"
 N_HIST_BINS = 8
 
 
-def _check_batch(
-    pdf: pd.DataFrame, with_ref: bool, keep_pixels: list | None = None
-) -> pd.DataFrame:
-    out = []
-    for row in pdf.itertuples(index=False):
-        reason = []
-        decode_ok = dims_ok = phash_ok = True
-        pixels = None
-        try:
-            pixels = codec.decode(bytes(row.bytes))
-        except codec.DecodeError as exc:
-            decode_ok = False
-            reason.append(f"decode:{exc}")
-        if pixels is not None:
-            if pixels.shape != (row.h, row.w):
-                dims_ok = False
-                reason.append("dims")
-            if codec.average_hash(pixels) != row.phash:
-                phash_ok = False
-                reason.append("phash")
-        else:
-            dims_ok = phash_ok = False
-        pixels_ok, caption_ok, p = True, True, float("nan")
-        if with_ref:
-            if row.ref_bytes is None:
-                pixels_ok = caption_ok = False
-                reason.append("no_reference")
-            else:
-                if pixels is not None:
-                    magic = bytes(row.bytes)[:4]
-                    ref_pixels = codec.decode(bytes(row.ref_bytes))
-                    p = codec.psnr(pixels, ref_pixels)
-                    pixels_ok = (
-                        bool(np.array_equal(pixels, ref_pixels))
-                        if magic == codec.MAGIC_RAW
-                        else bool(p >= PSNR_MIN_DB)
-                    )
-                    if not pixels_ok:
-                        reason.append(f"psnr:{p:.1f}")
-                else:
-                    pixels_ok = False
-                if row.caption != row.ref_caption:
-                    caption_ok = False
-                    reason.append("caption")
-        if keep_pixels is not None:
-            keep_pixels.append(pixels)
-        ok = decode_ok and dims_ok and phash_ok and pixels_ok and caption_ok
-        out.append(
-            {
-                "image_id": row.image_id,
-                "fmt": row.fmt,
-                "decode_ok": decode_ok,
-                "dims_ok": dims_ok,
-                "phash_ok": phash_ok,
-                "pixels_ok": pixels_ok,
-                "caption_ok": caption_ok,
-                "psnr": p,
-                "is_violation": not ok,
-                "reason": ",".join(reason),
-            }
-        )
-    return pd.DataFrame(out)
-
-
 COMBINED_SCHEMA = CHECK_SCHEMA + ", ordinal long, features array<double>"
 
 DIGEST_SCHEMA = (
@@ -165,8 +101,8 @@ def decode_digests(images: DataFrame, ordinal_col: str | None = None) -> DataFra
     Runs as ``mapInArrow``: the binary column is consumed directly from
     the Arrow buffers (offsets + one contiguous data buffer) — no Python
     bytes objects, no pandas conversion. Header fields parse as one
-    vectorized gather; same-shape groups digest as one 3-D NumPy stack;
-    only the (rare) stub-codec rows fall back to per-row decode.
+    vectorized gather; same-shape groups digest as one 3-D NumPy stack for
+    every codec (raw/qnt payload view, jpeg whole-group inverse DCT).
     """
     import pyarrow as pa
 
@@ -527,81 +463,3 @@ def row_checks_and_features(
         "ordinal",
         "features",
     )
-
-
-def row_checks(images: DataFrame, reference: DataFrame | None = None) -> DataFrame:
-    """Per-row verdicts. With a ``reference`` table (image_id, ref_bytes,
-    ref_caption, ref_phash), the full input_hint invariant runs; without
-    one, only the self-contained structural checks.
-
-    The join is a plain equi-join on image_id — broadcast when the
-    reference is small, sort-merge + AQE skew handling otherwise (at scale
-    both sides are bucketed by image_id so the join is co-located).
-    """
-    with_ref = reference is not None
-    cols = ["image_id", "bytes", "w", "h", "fmt", "caption", "phash"]
-    df = images.select(*cols)
-    if with_ref:
-        df = df.join(
-            reference.select("image_id", "ref_bytes", "ref_caption"),
-            "image_id",
-            "left",
-        )
-
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if len(pdf):
-                yield _check_batch(pdf, with_ref)
-
-    return df.mapInPandas(run, CHECK_SCHEMA)
-
-
-def image_features(images: DataFrame, ordinal_col: str = None) -> DataFrame:
-    """Per-image anomaly/drift features: [mean, std, hist(8 bins) * 128].
-
-    Intensity statistics only — w/h are validated by schema/stats checks
-    and would otherwise dominate the Euclidean metric with legitimate size
-    variation. Histogram mass is scaled to ~pixel units so all components
-    contribute comparably to distance.
-
-    Output feeds the windowed anomaly detector as (id, features) with
-    id = ordinal + 1 (arrival order is the count-based time axis,
-    /root/reference/src/core/OutlierDetector.java:10). Undecodable rows are
-    dropped here — they are already violations via row_checks.
-    """
-    if ordinal_col is None:
-        # parse the trailing ordinal from image_id (generator layout)
-        images = images.withColumn(
-            "_ord", F.regexp_extract("image_id", r"(\d+)$", 1).cast("long")
-        )
-        ordinal_col = "_ord"
-    df = images.select(
-        "image_id", F.col(ordinal_col).alias("ordinal"), "bytes", "w", "h"
-    )
-
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows = []
-            for row in pdf.itertuples(index=False):
-                try:
-                    pixels = codec.decode(bytes(row.bytes))
-                except codec.DecodeError:
-                    continue
-                hist, _ = np.histogram(pixels, bins=N_HIST_BINS, range=(0, 256))
-                hist = hist.astype(np.float64) * (128.0 / pixels.size)
-                feats = [
-                    float(pixels.mean()),
-                    float(pixels.std()),
-                    *hist.tolist(),
-                ]
-                rows.append(
-                    {
-                        "image_id": row.image_id,
-                        "ordinal": int(row.ordinal),
-                        "features": feats,
-                    }
-                )
-            if rows:
-                yield pd.DataFrame(rows)
-
-    return df.mapInPandas(run, FEATURE_SCHEMA)

@@ -112,7 +112,11 @@ def lsh_neighbor_pairs(
     """
     from pyspark.sql.window import Window
 
-    dim = len(points_with_slide.select("features").first()[0])
+    # cfg.dim avoids a driver-side probe job during plan construction;
+    # the .first() fallback exists only for ad-hoc callers
+    dim = cfg.dim if cfg.dim > 0 else len(
+        points_with_slide.select("features").first()[0]
+    )
     max_gap = cfg.ws - 1
     r2 = float(cfg.r) ** 2
 

@@ -213,3 +213,35 @@ def test_simhash_bucket_cap_bounds_hot_buckets(spark):
     got_f = {(r.id_a, r.id_b): r.hamming for r in full.collect()}
     assert set(got_c) <= set(got_f)
     assert all(got_f[k] == v for k, v in got_c.items())
+
+
+def test_batch_diagnostics_match_streaming_engine(spark, gauss_points, gauss2d):
+    """K3/A7 on the batch path: per-batch window population and arrival
+    counts must equal the incremental engine's per-batch diagnostics."""
+    from approximate_anomaly_detection_in_data_streams_spark.operators.detector import (
+        batch_diagnostics,
+    )
+    from approximate_anomaly_detection_in_data_streams_spark.streaming.incremental import (
+        SlideDetector,
+    )
+    import numpy as np
+
+    cfg = DetectorConfig(w=100, slide=20, r=0.5, k=8)
+    sub = gauss2d[:400]
+    pts = spark.createDataFrame(
+        [(i + 1, [float(a), float(b)]) for i, (a, b) in enumerate(sub)],
+        "id long, features array<double>",
+    )
+    got = {r.b: r for r in batch_diagnostics(pts, cfg).collect()}
+    det = SlideDetector(cfg)
+    ids = np.arange(1, len(sub) + 1)
+    for s in range(0, len(sub), cfg.slide):
+        det.process_batch(ids[s : s + cfg.slide], sub[s : s + cfg.slide])
+    assert len(got) == len(det.diagnostics)
+    for d in det.diagnostics:
+        row = got[d["batch"]]
+        assert row.window_size == d["window_size"]
+        assert row.n_new == d["n_new"]
+    # expiries: nothing expires before the window fills, slide-size after
+    assert got[1].n_expired == 0
+    assert got[cfg.ws + 1].n_expired == cfg.slide
