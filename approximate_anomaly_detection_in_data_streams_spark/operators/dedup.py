@@ -142,11 +142,36 @@ def minhash_signatures(
         ids = pdf["id"].to_numpy()[order]
         hs = pdf["h"].to_numpy()[order].view(np.uint64)
         starts = np.flatnonzero(np.concatenate(([True], ids[1:] != ids[:-1])))
-        with np.errstate(over="ignore"):
-            M = hs[:, None] * A[None, :] + B[None, :]
-        mins = np.minimum.reduceat(M, starts, axis=0)
+        bounds = np.append(starts, len(ids))
+        # the (rows x num_perm) permutation plane is the task's dominant
+        # allocation — walk it in group-aligned chunks through ONE
+        # preallocated buffer (this VM collapses under concurrent fresh
+        # multi-MB allocations; see BENCH.md)
+        target = 16384
+        M_buf = np.empty((target, num_perm), dtype=np.uint64)
+        out_sigs = []
+        out_ids = []
+        g0 = 0
+        n_groups = len(starts)
+        while g0 < n_groups:
+            g1 = g0 + 1
+            while g1 < n_groups and bounds[g1 + 1] - bounds[g0] <= target:
+                g1 += 1
+            r0, r1 = int(bounds[g0]), int(bounds[g1])
+            m = r1 - r0
+            if m > len(M_buf):
+                M_buf = np.empty((m, num_perm), dtype=np.uint64)
+            M = M_buf[:m]
+            with np.errstate(over="ignore"):
+                np.multiply(hs[r0:r1, None], A[None, :], out=M)
+                M += B[None, :]
+            mins = np.minimum.reduceat(M, starts[g0:g1] - r0, axis=0)
+            out_sigs.append(mins.view(np.int64).copy())
+            out_ids.append(ids[starts[g0:g1]])
+            g0 = g1
+        sigs = np.concatenate(out_sigs)
         yield pd.DataFrame(
-            {"id": ids[starts], "sig": list(mins.view(np.int64))}
+            {"id": np.concatenate(out_ids), "sig": list(sigs)}
         )
 
     sp = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "64"))
@@ -292,42 +317,67 @@ def minhash_lsh_pairs(
         .mapInPandas(emit, "id_a long, id_b long")
         .distinct()
     )
-    # Verify candidates only: join each side to its shingle *set* and take
-    # array_intersect — work is O(#candidates x shingles/doc), never the
-    # all-pairs inverted-index blow-up (hot shingles would make that
-    # sum(df^2) at corpus scale). Sets are 64-bit shingle hashes, not
-    # strings: long-array intersection skips per-element string hashing
-    # (~4x on template-heavy corpora where millions of moderate-similarity
-    # candidates reach the verify); jaccard over hashed sets equals string
-    # jaccard up to 64-bit collisions (~1e-9 at millions of distinct
-    # shingles, and deterministic under the seed either way).
+    # Verify candidates only: join each side to its shingle *set* and
+    # compute the exact intersection — work is O(#candidates x
+    # shingles/doc), never the all-pairs inverted-index blow-up (hot
+    # shingles would make that sum(df^2) at corpus scale). Sets are
+    # sorted 64-bit shingle hashes, not strings (no per-element string
+    # hashing; jaccard over hashed sets equals string jaccard up to
+    # 64-bit collisions, ~1e-9 at millions of distinct shingles, and
+    # deterministic under the seed either way). The set table is
+    # persisted ONCE and broadcast to both join sides (two broadcast
+    # exchanges would otherwise each recompute the shingle scan —
+    # broadcast inputs do not share work unless materialized), and the
+    # intersection itself runs as a searchsorted merge in an Arrow
+    # kernel: template-heavy corpora push millions of
+    # moderate-similarity candidates into the verify, and per-pair
+    # sorted-merge beats per-pair hash-set construction by ~10x there.
     shingle_sets = (
         char_shingles(df, id_col, text_col, n)
         .select("id", F.xxhash64("shingle", F.lit(seed)).alias("h"))
         .groupBy("id")
         .agg(F.sort_array(F.collect_set("h")).alias("sh"))
-    )
-    # broadcast the per-doc set table: candidates stream map-side and the
-    # multi-KB set payloads are never duplicated per pair through a
-    # shuffle. (At corpus sizes where the set table outgrows broadcast,
-    # swap the hint for a bucketed join on id.)
+    ).persist()
     sa = F.broadcast(
         shingle_sets.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
     )
     sb = F.broadcast(
         shingle_sets.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
     )
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    union = F.size("sh_a") + F.size("sh_b") - inter
+    joined = cand.join(sa, "id_a").join(sb, "id_b")
+
+    def verify(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            a_sets = pdf["sh_a"].to_numpy()
+            b_sets = pdf["sh_b"].to_numpy()
+            m = len(pdf)
+            jac = np.empty(m, dtype=np.float64)
+            for i in range(m):
+                A = a_sets[i]
+                B = b_sets[i]
+                if len(A) > len(B):
+                    A, B = B, A
+                if len(A) == 0:
+                    jac[i] = 0.0
+                    continue
+                pos = np.searchsorted(B, A)
+                pos[pos == len(B)] = 0
+                inter = int((B[pos] == A).sum())
+                jac[i] = inter / (len(A) + len(B) - inter)
+            jac = _round_half_away(jac)
+            keep = jac >= threshold
+            yield pd.DataFrame(
+                {
+                    "id_a": pdf["id_a"].to_numpy()[keep],
+                    "id_b": pdf["id_b"].to_numpy()[keep],
+                    "jaccard": jac[keep],
+                }
+            )
+
     return (
-        cand.join(sa, "id_a")
-        .join(sb, "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            F.round(inter / union, 6).alias("jaccard"),
-        )
-        .where(F.col("jaccard") >= threshold)
+        joined.mapInPandas(verify, "id_a long, id_b long, jaccard double")
         .orderBy("id_a", "id_b")
     )
 

@@ -44,13 +44,35 @@ DIGEST_SCHEMA = (
 
 PSNR_SCHEMA = "image_id string, psnr double, pixels_equal boolean"
 
+# Reusable scratch buffers, keyed by role, living for the worker process
+# lifetime (Spark reuses Python workers across tasks). The guest VM
+# collapses under CONCURRENT fresh large allocations (mmap/page-fault
+# storms: measured 4.6 -> 0.5-2 GB/s aggregate at 8-32 procs on fresh
+# buffers vs 27 -> 555 GB/s on preallocated ones — BENCH.md), so every
+# per-batch multi-MB intermediate below is written into one of these
+# instead of a fresh np.empty.
+_SCRATCH: dict[str, np.ndarray] = {}
+
+
+def _scratch(name: str, shape: tuple[int, ...], dtype) -> np.ndarray:
+    size = int(np.prod(shape))
+    need = size * np.dtype(dtype).itemsize
+    buf = _SCRATCH.get(name)
+    if buf is None or buf.nbytes < need:
+        buf = np.empty(int(need * 5 // 4) + 64, dtype=np.uint8)
+        _SCRATCH[name] = buf
+    return buf[:need].view(dtype).reshape(shape)
+
 
 def _digest_same_shape(
     mats: np.ndarray,
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Vectorized (phash, features, stats) for a stack of same-shape
-    images (n, h, w) uint8. Matches codec.average_hash and the per-image
-    feature math bit-for-bit (same reductions, float64 throughout).
+    images (n, h, w) uint8. The hash path matches codec.average_hash
+    bit-for-bit (same data, same reductions, float64 throughout); the
+    std feature uses a one-pass E[x^2]-E[x]^2 in float64 (exact to within
+    1 ulp on uint8 data — features feed thresholded drift checks, not a
+    bit-compare).
 
     Tiny images (h<8 or w<8) are nearest-neighbor upsampled for the hash
     exactly like codec.average_hash (np.repeat per axis) so both paths stay
@@ -64,18 +86,24 @@ def _digest_same_shape(
         hash_mats = np.repeat(np.repeat(mats, ry, axis=1), rx, axis=2)
     _, hh_, ww_ = hash_mats.shape
     bh, bw = max(hh_ // grid, 1), max(ww_ // grid, 1)
-    trimmed = hash_mats[:, : bh * grid, : bw * grid].astype(np.float64)
+    trimmed = _scratch("dg_trim", (n, bh * grid, bw * grid), np.float64)
+    np.copyto(trimmed, hash_mats[:, : bh * grid, : bw * grid])
     blocks = trimmed.reshape(n, grid, bh, grid, bw).mean(axis=(2, 4))
     bits = blocks > blocks.mean(axis=(1, 2))[:, None, None]
     weights = (1 << np.arange(63, dtype=np.uint64))
     flat = bits.reshape(n, 64)[:, :63]
     phashes = (flat * weights).sum(axis=1).astype(np.int64)
 
-    flat_px = mats.reshape(n, h * w).astype(np.float64)
+    # one float64 copy feeds mean, one-pass variance AND (as int bins) the
+    # histogram — all through scratch, no fresh n x h x w intermediates
+    flat_px = _scratch("dg_flat", (n, h * w), np.float64)
+    np.copyto(flat_px, mats.reshape(n, h * w))
     means = flat_px.mean(axis=1)
-    stds = flat_px.std(axis=1)
+    m2 = np.einsum("ij,ij->i", flat_px, flat_px) / (h * w)
+    stds = np.sqrt(np.maximum(m2 - means * means, 0.0))
     # per-image 8-bin histogram via one flat bincount (bin = pixel >> 5)
-    bins = (mats.reshape(n, h * w) >> 5).astype(np.int64)
+    bins = _scratch("dg_bins", (n, h * w), np.int64)
+    np.right_shift(mats.reshape(n, h * w), 5, out=bins, casting="unsafe")
     bins += np.arange(n, dtype=np.int64)[:, None] * N_HIST_BINS
     hist = np.bincount(bins.ravel(), minlength=n * N_HIST_BINS).reshape(
         n, N_HIST_BINS
@@ -221,16 +249,27 @@ def decode_digests(images: DataFrame, ordinal_col: str | None = None) -> DataFra
                 bounds = np.append(bounds, len(gi))
                 for b0, b1 in zip(bounds[:-1], bounds[1:]):
                     idxs = gi[b0:b1]
+                    g = len(idxs)
                     w = int(ww[idxs[0]])
                     h = int(hh[idxs[0]])
                     try:
-                        pidx = (starts[idxs] + 8)[:, None] + np.arange(w * h)
-                        stack = data[pidx].reshape(len(idxs), h, w)
+                        pidx = _scratch("dd_pidx", (g, w * h), np.int64)
+                        np.add(
+                            (starts[idxs] + 8)[:, None],
+                            np.arange(w * h),
+                            out=pidx,
+                        )
+                        stack = _scratch("dd_stack", (g, h, w), np.uint8)
+                        np.take(data, pidx.reshape(g, h, w), out=stack)
                         if magic_u32[idxs[0]] == _MAGIC_VALS[codec.MAGIC_QNT]:
-                            stack = (
-                                (stack.astype(np.uint16) << codec.QNT_SHIFT)
-                                + (1 << (codec.QNT_SHIFT - 1))
-                            ).clip(0, 255).astype(np.uint8)
+                            t16 = _scratch("dd_u16", (g, h, w), np.uint16)
+                            np.left_shift(
+                                stack, codec.QNT_SHIFT, out=t16,
+                                casting="unsafe",
+                            )
+                            t16 += 1 << (codec.QNT_SHIFT - 1)
+                            np.minimum(t16, 255, out=t16)
+                            np.copyto(stack, t16, casting="unsafe")
                         ph, fv, _ = _digest_same_shape(stack)
                     except Exception:
                         # malformed-but-plausible group: a row verdict,
@@ -256,24 +295,39 @@ def decode_digests(images: DataFrame, ordinal_col: str | None = None) -> DataFra
                 D = codec._DCT8
                 for b0, b1 in zip(bounds[:-1], bounds[1:]):
                     idxs = gi[b0:b1]
+                    g = len(idxs)
                     w = int(ww[idxs[0]])
                     h = int(hh[idxs[0]])
                     pw, ph_ = int(pw8[idxs[0]]), int(phh8[idxs[0]])
+                    npx = pw * ph_
                     try:
-                        pidx = (starts[idxs] + 8)[:, None] + np.arange(pw * ph_ * 2)
-                        raw = data[pidx]
-                        coeffs = (
-                            raw.view("<i2")
-                            .astype(np.float64)
-                            .reshape(len(idxs), ph_ // 8, 8, pw // 8, 8)
-                            * codec.JPEG_Q
+                        pidx = _scratch("dd_pidx", (g, npx * 2), np.int64)
+                        np.add(
+                            (starts[idxs] + 8)[:, None],
+                            np.arange(npx * 2),
+                            out=pidx,
                         )
-                        img = np.einsum("ji,najbk,kl->naibl", D, coeffs, D)
-                        stack = (
-                            img.reshape(len(idxs), ph_, pw)[:, :h, :w]
-                            .round()
-                            .clip(0, 255)
-                            .astype(np.uint8)
+                        raw = _scratch("dd_raw", (g, npx * 2), np.uint8)
+                        np.take(data, pidx, out=raw)
+                        coeffs = _scratch("dd_coef", (g, npx), np.float64)
+                        np.multiply(
+                            raw.view("<i2"), float(codec.JPEG_Q), out=coeffs
+                        )
+                        img = _scratch("dd_img", (g, npx), np.float64)
+                        np.einsum(
+                            "ji,najbk,kl->naibl",
+                            D,
+                            coeffs.reshape(g, ph_ // 8, 8, pw // 8, 8),
+                            D,
+                            out=img.reshape(g, ph_ // 8, 8, pw // 8, 8),
+                        )
+                        np.rint(img, out=img)
+                        np.clip(img, 0, 255, out=img)
+                        stack = _scratch("dd_jstack", (g, h, w), np.uint8)
+                        np.copyto(
+                            stack,
+                            img.reshape(g, ph_, pw)[:, :h, :w],
+                            casting="unsafe",
                         )
                         ph, fv, _ = _digest_same_shape(stack)
                     except Exception:
