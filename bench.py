@@ -28,6 +28,7 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 HEADLINE = [
     "mcod_outliers",
     "mcod_stats",
+    "approx_mcod_outliers",
     "lshod_outliers",
     "col_stats_lineitem",
     "uniqueness_orders",
