@@ -84,12 +84,20 @@ def srp_bucket_keys(
     rng = np.random.default_rng(seed)
     A = rng.normal(size=(tables * bits, dim))
     weights = (1 << np.arange(bits, dtype=np.int64))
+    # worker-lifetime scratch: the projection plane is re-used across
+    # Arrow batches instead of freshly allocated (this VM collapses under
+    # concurrent fresh allocation — BENCH.md)
+    scratch: dict[str, np.ndarray] = {}
 
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def keys(vecs: pd.Series) -> pd.Series:
+        n = len(vecs)
         X = np.stack(vecs.to_numpy()).astype(np.float64)
-        signs = (X @ A.T) > 0  # (n, tables*bits)
-        signs = signs.reshape(len(X), tables, bits)
+        P = scratch.get("P")
+        if P is None or len(P) < n:
+            scratch["P"] = P = np.empty((n, tables * bits))
+        np.matmul(X, A.T, out=P[:n])
+        signs = (P[:n] > 0).reshape(n, tables, bits)
         packed = (signs * weights).sum(axis=2).astype(np.int64)
         return pd.Series(list(packed))
 

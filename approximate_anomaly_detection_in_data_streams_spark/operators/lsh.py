@@ -65,12 +65,21 @@ def with_bucket_keys(
     A_flat = A.reshape(cfg.num_tables * cfg.num_hashes, dim).T.copy()
     b_flat = b.reshape(-1)
     n_tables, n_hashes = cfg.num_tables, cfg.num_hashes
+    # projection plane reused across Arrow batches (worker-lifetime
+    # scratch; concurrent fresh allocation anti-scales on this VM)
+    scratch: dict[str, np.ndarray] = {}
 
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def bucket_keys(features: pd.Series) -> pd.Series:
+        n = len(features)
         X = np.stack(features.to_numpy()).astype(np.float64)
-        H = np.floor((X @ A_flat + b_flat) / width).astype(np.int64)
-        H = H.reshape(len(X), n_tables, n_hashes)
+        P = scratch.get("P")
+        if P is None or len(P) < n:
+            scratch["P"] = P = np.empty((n, n_tables * n_hashes))
+        np.matmul(X, A_flat, out=P[:n])
+        P[:n] += b_flat
+        P[:n] /= width
+        H = np.floor(P[:n]).astype(np.int64).reshape(n, n_tables, n_hashes)
         keys = np.stack(
             [_combine_keys(H[:, t, :]) for t in range(n_tables)], axis=1
         )

@@ -127,3 +127,26 @@ def test_batch_analog_ar_promotion_only_when_evicting(spark, gauss_points):
         ).outliers.collect()
     ]
     assert with_ar == plain
+
+
+@pytest.mark.parametrize(
+    "dataset,w,s,r,k,golden",
+    [
+        ("shuttle5k.csv.gz", 1000, 100, 45.0, 30, "mcod_shuttle5k_1000_100_45_30.txt"),
+        ("satimage-2.csv.gz", 1000, 100, 80.0, 30, "mcod_satimage2_1000_100_80_30.txt"),
+        ("arrhythmia.csv.gz", 200, 50, 200.0, 10, "mcod_arrhythmia_200_50_200_10.txt"),
+    ],
+)
+def test_engine_mcod_mode_matches_reference_datasets(dataset, w, s, r, k, golden):
+    """Engine exact mode on the reference's own benchmark datasets
+    (9/36/274 dims): bit-exact vs reference-Java outlier sets — the MC
+    formation/dissolution and event-queue mechanism holds across
+    dimensionalities, not just the 2-d fixture."""
+    import gzip
+
+    from .conftest import GOLDEN
+
+    X = np.loadtxt(gzip.open(GOLDEN / dataset), delimiter=",")
+    cfg = DetectorConfig(w=w, slide=s, r=r, k=k)
+    res = MCODEngine(cfg, X.shape[1]).run(X)
+    assert res["outliers"] == golden_outliers(golden)
