@@ -111,9 +111,10 @@ def srp_ann_topk(
     vec_col: str,
     dim: int,
     k: int = 5,
-    bits: int = 10,
-    tables: int = 8,
+    bits: int = 8,
+    tables: int = 16,
     seed: int = 42,
+    multiprobe: int = 1,
 ) -> DataFrame:
     """Approximate top-k: SRP bucket equi-join candidates, exact re-rank.
 
@@ -122,6 +123,13 @@ def srp_ann_topk(
     then exact cosine + window rank. Recall measured vs brute_force_topk in
     tests. The corpus-side shuffle is keyed (table, key) — bounded buckets,
     no crossJoin.
+
+    ``multiprobe=1`` additionally probes every Hamming-1 neighbor of each
+    QUERY key (the classic multi-probe LSH trade: x(bits+1) query-side
+    rows — queries are the small side — instead of more corpus tables):
+    a table then recalls a neighbor at angular similarity p with
+    probability p^b + b*p^(b-1)*(1-p) instead of p^b, which is what lifts
+    recall into the useful range for mid-similarity corpora.
     """
     qk = srp_bucket_keys(
         queries.select(F.col(id_col).cast("long").alias("query_id"), F.col(vec_col).alias("qvec")),
@@ -131,6 +139,14 @@ def srp_ann_topk(
         tables,
         seed,
     ).select("query_id", "qvec", F.posexplode("buckets").alias("t", "key"))
+    if multiprobe >= 1:
+        probe_arr = F.array(
+            F.col("key"),
+            *[F.col("key").bitwiseXOR(F.lit(1 << j)) for j in range(bits)],
+        )
+        qk = qk.select(
+            "query_id", "qvec", "t", F.explode(probe_arr).alias("key")
+        )
     vk = srp_bucket_keys(
         vectors.select(
             F.col(id_col).cast("long").alias("neighbor_id"), F.col(vec_col).alias("nvec")

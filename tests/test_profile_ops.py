@@ -245,3 +245,24 @@ def test_batch_diagnostics_match_streaming_engine(spark, gauss_points, gauss2d):
     # expiries: nothing expires before the window fills, slide-size after
     assert got[1].n_expired == 0
     assert got[cfg.ws + 1].n_expired == cfg.slide
+
+
+def test_srp_ann_recall_vs_bruteforce(spark, sf_dir):
+    """SRP-LSH with Hamming-1 multi-probe must recall most of the exact
+    cosine top-k (was unmeasured before round 2; 0.85 typical on the
+    synthetic embeddings, floor set with headroom for scale variation)."""
+    from approximate_anomaly_detection_in_data_streams_spark.operators import knn
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 20)
+    brute = {
+        (r.query_id, r.neighbor_id)
+        for r in knn.brute_force_topk(emb, queries, "vec_id", "embedding", 5).collect()
+    }
+    ann = {
+        (r.query_id, r.neighbor_id)
+        for r in knn.srp_ann_topk(
+            emb, queries, "vec_id", "embedding", dim=64, k=5
+        ).collect()
+    }
+    assert len(brute & ann) / len(brute) >= 0.7
