@@ -36,6 +36,13 @@ def _detector_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--containsClass", default="false")
     p.add_argument("--outliersFile", default=None)
     p.add_argument("--seed", type=int, default=42)
+    p.add_argument(
+        "--engine", default="spark", choices=["spark", "sequential"],
+        help="spark: distributed DataFrame plans (default); sequential: "
+        "the faithful reference-mechanism engine "
+        "(streaming/mcod_engine.py — micro-clusters, event queue, "
+        "ApproxMCOD eviction/ANC, seeded), for literal parity runs",
+    )
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -78,9 +85,27 @@ def main(argv: list[str] | None = None) -> int:
                 spark, args.datafile,
                 contains_class=args.containsClass.lower() == "true",
             )
-            result = run_detector(points, cfg)
-            outlier_ids = [r.id for r in result.outliers.collect()]
-            stats = result.stats.first().asDict()
+            if args.engine == "sequential":
+                # faithful reference-mechanism run (MCOD / ApproxMCOD;
+                # LSH variants stay on the Spark engine)
+                import numpy as np
+
+                from .streaming.mcod_engine import MCODEngine
+
+                rows = points.orderBy("id").collect()
+                X = np.asarray([r.features for r in rows], dtype=np.float64)
+                res = MCODEngine(cfg, X.shape[1]).run(X)
+                outlier_ids = res["outliers"]
+                stats = {
+                    "n_only_inlier": res["n_only_inlier"],
+                    "n_only_outlier": res["n_only_outlier"],
+                    "n_both_inlier_outlier": res["n_both_inlier_outlier"],
+                    "n_range_queries": res["n_range_queries"],
+                }
+            else:
+                result = run_detector(points, cfg)
+                outlier_ids = [r.id for r in result.outliers.collect()]
+                stats = result.stats.first().asDict()
             if args.outliersFile:
                 with open(args.outliersFile, "w") as fh:
                     fh.writelines(f"{i}\n" for i in outlier_ids)

@@ -19,7 +19,12 @@ PD-size cap with safe-inlier-only eviction plus the approximation radius
 With ``pd_limit = 0`` (unlimited) and ``ar_factor = 0`` the engine IS the
 exact MCOD mechanism (no eviction can ever trigger, the ANC set stays
 empty) — tested bit-exact against the committed reference-Java golden
-outlier sets. With a finite ``pd_limit`` it realizes the reference's
+outlier sets on all four datasets, and it reproduces the reference's
+printed lifetime counters EXACTLY, including the dissolution-reinsertion
+undercount artifact the batch path deliberately corrects
+(shuttle-5k W=1000/S=100/R=45/k=30: 4549/234/217 here and in the
+reference's stdout vs the batch path's order-independent 4551/234/215 —
+see operators/detector.py module docstring). With a finite ``pd_limit`` it realizes the reference's
 ApproxMCOD semantics, with two deliberate, documented determinism fixes
 (SURVEY.md section 5: the reference draws from an *unseeded*
 java.util.Random and iterates a JVM-order HashSet):

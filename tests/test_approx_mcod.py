@@ -150,3 +150,22 @@ def test_engine_mcod_mode_matches_reference_datasets(dataset, w, s, r, k, golden
     cfg = DetectorConfig(w=w, slide=s, r=r, k=k)
     res = MCODEngine(cfg, X.shape[1]).run(X)
     assert res["outliers"] == golden_outliers(golden)
+
+
+def test_engine_reproduces_reference_stats_artifact():
+    """The reference's printed lifetime counters on shuttle-5k are
+    4549/234/217 — two points spuriously counted 'both' by its
+    dissolution-reinsertion order (operators/detector.py docstring). The
+    mechanism-faithful engine must reproduce that artifact exactly; the
+    batch path reports the order-independent truth (4551/234/215)."""
+    import gzip
+
+    from .conftest import GOLDEN
+
+    X = np.loadtxt(gzip.open(GOLDEN / "shuttle5k.csv.gz"), delimiter=",")
+    res = MCODEngine(DetectorConfig(w=1000, slide=100, r=45.0, k=30), X.shape[1]).run(X)
+    assert (
+        res["n_only_inlier"],
+        res["n_only_outlier"],
+        res["n_both_inlier_outlier"],
+    ) == (4549, 234, 217)
