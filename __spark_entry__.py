@@ -92,7 +92,11 @@ def q_mcod_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_lshod_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Seeded LSH approximate detector (J4/X3) — rows-only check."""
+    """Seeded LSH approximate detector (J4/X3). The p-stable bucket keys
+    are pure JVM expressions with the seeded Gaussian coefficients as
+    float literals (operators/lsh.py), so the SQL twin re-derives
+    bit-identical keys from the same literals — the approximate LSH
+    detector is exactly oracle-checked end to end."""
     return run_detector(_event_points(spark, sf_dir), _det_cfg("lshod")).outliers
 
 
@@ -682,6 +686,64 @@ group by n.id order by n.id
 """
 
 
+def _lshod_outliers_sql() -> str:
+    """SQL twin of the LSHOD detector: identical bucket keys from the
+    same float-literal projections (bit-identical IEEE ops in both
+    engines), candidate equi-join per table with the co-window band,
+    exact distance filter, then the standard end-evaluation outlier CTE."""
+    from approximate_anomaly_detection_in_data_streams_spark.operators.lsh import (
+        make_projections,
+    )
+
+    cfg = _det_cfg("lshod")
+    A, b = make_projections(cfg, 1)
+    w = float(cfg.lsh_bucket_width)
+    key_selects = []
+    for t in range(cfg.num_tables):
+        parts = ", ".join(
+            f"cast(floor((value * {float(A[t, j, 0])!r} + {float(b[t, j])!r})"
+            f" / {w!r}) as bigint)"
+            for j in range(cfg.num_hashes)
+        )
+        key_selects.append(
+            f"select id, slide, {t} as t, concat_ws('_', {parts}) as key from pts"
+        )
+    keys_cte = "\n  union all\n  ".join(key_selects)
+    return f"""
+with pts as (
+  select event_id + 1 as id, value, (event_id // {DET_S}) + 1 as slide from events
+), nb as (
+  select cast(ceil(count(*) * 1.0 / {DET_S}) as bigint) as b_total from pts
+), keys as (
+  {keys_cte}
+), cand as (
+  select distinct x.id as i, y.id as j
+  from keys x join keys y on x.t = y.t and x.key = y.key and x.id <> y.id
+  where abs(x.slide - y.slide) <= {DET_WS - 1}
+), pairs as (
+  select c.i, c.j, a.slide as si, b.slide as sj
+  from cand c
+  join pts a on a.id = c.i
+  join pts b on b.id = c.j
+  where abs(a.value - b.value) <= {DET_R}
+), counts as (
+  select i as id, x.b as b, count(*) as cnt_end
+  from pairs, nb,
+       unnest(generate_series(greatest(si, sj),
+                              least(nb.b_total, least(si, sj) + {DET_WS - 1}))) as x(b)
+  group by 1, 2
+), pb as (
+  select p.id, p.slide, x.b
+  from pts p, nb,
+       unnest(generate_series(p.slide, least(nb.b_total, p.slide + {DET_WS - 1}))) as x(b)
+), evals as (
+  select pb.id, coalesce(c.cnt_end, 0) >= {DET_K} as is_inlier
+  from pb left join counts c on c.id = pb.id and c.b = pb.b
+)
+select id from evals group by id having max(is_inlier) = false order by id
+"""
+
+
 def _approx_mcod_sql() -> str:
     """SQL twin of the bounded-active-set ApproxMCOD analog
     (operators/approx_mcod.py): same portable md5 eviction priority, same
@@ -876,6 +938,7 @@ def oracle_sql() -> dict[str, str]:
         "mcod_outliers": _mcod_outliers_sql(),
         "mcod_stats": _mcod_stats_sql(),
         "approx_mcod_outliers": _approx_mcod_sql(),
+        "lshod_outliers": _lshod_outliers_sql(),
         "col_stats_lineitem": _col_stats_sql(),
         "null_profile_orders": """
 select count(*) as n_rows,

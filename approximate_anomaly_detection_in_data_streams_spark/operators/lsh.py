@@ -25,16 +25,11 @@ Differences from the reference, by design (SURVEY.md section 5):
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 
 from ..config import DetectorConfig
 from .pairs import _pairwise_emit, PAIR_SCHEMA
-
-_MIX = np.uint64(0x9E3779B97F4A7C15)
-
 
 def make_projections(
     cfg: DetectorConfig, dim: int
@@ -46,46 +41,38 @@ def make_projections(
     return A, b
 
 
-def _combine_keys(H: np.ndarray) -> np.ndarray:
-    """Fold an (n, m) int hash matrix into one int64 key per row."""
-    acc = np.zeros(len(H), dtype=np.uint64)
-    for col in range(H.shape[1]):
-        acc = (acc * _MIX) ^ H[:, col].astype(np.int64).view(np.uint64)
-        acc *= _MIX
-    return acc.view(np.int64)
-
-
 def with_bucket_keys(
     points: DataFrame, cfg: DetectorConfig, dim: int
 ) -> DataFrame:
-    """Add ``buckets ARRAY<BIGINT>`` — one combined key per LSH table."""
+    """Add ``buckets ARRAY<STRING>`` — one bucket key per LSH table.
+
+    Entirely JVM / whole-stage-codegen: each p-stable hash
+    ``floor((v . a + b) / w)`` (/root/reference/src/core/lsh/
+    HashFunction.java:37-40) is an expression with the seeded Gaussian
+    coefficients folded in as float literals, and a table's key is the
+    '_'-joined hash integers (the reference's Arrays.toString analog,
+    HashTable.java:92-101). No Python, no Arrow round-trip — and the key
+    derivation is PORTABLE: an oracle can re-derive bit-identical keys
+    from the same literals (same IEEE multiply/add/divide/floor), which
+    is what makes the full LSHOD detector exactly SQL-checkable.
+    The explicit left-to-right dot-product fold fixes the summation
+    order so both engines see the same doubles.
+    """
     A, b = make_projections(cfg, dim)
-    width = cfg.lsh_bucket_width
-    # flatten for a single matmul: (d, L*m)
-    A_flat = A.reshape(cfg.num_tables * cfg.num_hashes, dim).T.copy()
-    b_flat = b.reshape(-1)
-    n_tables, n_hashes = cfg.num_tables, cfg.num_hashes
-    # projection plane reused across Arrow batches (worker-lifetime
-    # scratch; concurrent fresh allocation anti-scales on this VM)
-    scratch: dict[str, np.ndarray] = {}
-
-    @F.pandas_udf(T.ArrayType(T.LongType()))
-    def bucket_keys(features: pd.Series) -> pd.Series:
-        n = len(features)
-        X = np.stack(features.to_numpy()).astype(np.float64)
-        P = scratch.get("P")
-        if P is None or len(P) < n:
-            scratch["P"] = P = np.empty((n, n_tables * n_hashes))
-        np.matmul(X, A_flat, out=P[:n])
-        P[:n] += b_flat
-        P[:n] /= width
-        H = np.floor(P[:n]).astype(np.int64).reshape(n, n_tables, n_hashes)
-        keys = np.stack(
-            [_combine_keys(H[:, t, :]) for t in range(n_tables)], axis=1
-        )
-        return pd.Series(list(keys))
-
-    return points.withColumn("buckets", bucket_keys("features"))
+    width = float(cfg.lsh_bucket_width)
+    feats = F.col("features")
+    table_keys = []
+    for t in range(cfg.num_tables):
+        hs = []
+        for j in range(cfg.num_hashes):
+            dot = feats[0].cast("double") * float(A[t, j, 0])
+            for d in range(1, dim):
+                dot = dot + feats[d].cast("double") * float(A[t, j, d])
+            hs.append(
+                F.floor((dot + float(b[t, j])) / F.lit(width)).cast("string")
+            )
+        table_keys.append(F.concat_ws("_", *hs))
+    return points.withColumn("buckets", F.array(*table_keys))
 
 
 def lsh_neighbor_pairs(
