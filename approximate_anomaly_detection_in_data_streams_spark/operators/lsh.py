@@ -6,11 +6,13 @@ b_i ~ U[0, w), L tables, candidate set = union of colliding buckets
 (/root/reference/src/core/lsh/HashFunction.java:13-40,
 /root/reference/src/core/lsh/HashTable.java:81-101,
 /root/reference/src/core/lsh/LSHIndex.java:33-44) — as a *bucket-key
-equi-join*: precompute one 64-bit combined key per (point, table) with a
-single vectorized matmul, explode to (table, key), and run the same banded
-blockwise pair scan as the exact path inside each (table, key, id-block)
-group. The theta-join becomes an equi-join + exact post-filter, turning the
-reference's in-heap probe into a shuffle whose keys we fully control.
+equi-join*: per (point, table) a bucket key built from pure JVM codegen
+expressions (projection coefficients as float literals), exploded to
+(table, key) and joined within (table, key, id-block) groups. The
+theta-join becomes an equi-join + exact post-filter, turning the
+reference's in-heap probe into a shuffle whose keys we fully control —
+and the key derivation is portable enough that the full LSHOD detector
+carries an exact SQL oracle.
 
 Differences from the reference, by design (SURVEY.md section 5):
   * the reference's RNG is unseeded and its buckets evict entries under
