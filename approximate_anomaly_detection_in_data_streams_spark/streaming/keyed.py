@@ -18,10 +18,13 @@ with ``id = -n_total``; the final flush (W4) runs only once every id
 truncate the stream.
 
 Output (append mode): one row per recorded pure outlier
-(kind='outlier', value=id) plus the three lifetime counters
-(kind='n_only_inlier' | 'n_only_outlier' | 'n_both_inlier_outlier'),
-emitted at flush time. Verified per key against the batch detector
-(tests/test_streaming.py).
+(kind='outlier', value=id), emitted INCREMENTALLY in the trigger whose
+expiry records it (the reference records outliers at expiry/flush,
+/root/reference/src/core/OutlierDetector.java:43-62 — emission latency
+matches the semantics, not the end of the stream), plus the three
+lifetime counters (kind='n_only_inlier' | 'n_only_outlier' |
+'n_both_inlier_outlier') at flush. Verified per key against the batch
+detector (tests/test_streaming.py).
 """
 
 from __future__ import annotations
@@ -63,6 +66,7 @@ def _keyed_func(cfg: DetectorConfig):
 
         det: SlideDetector = st["det"]
         S = cfg.slide
+        emitted: set = st.setdefault("emitted", set())
         # drain complete slides in order
         while not st["done"]:
             ids = list(range(st["next"], st["next"] + S))
@@ -72,7 +76,7 @@ def _keyed_func(cfg: DetectorConfig):
             det.process_batch(np.asarray(ids, dtype=np.int64), X)
             st["next"] += S
 
-        out = None
+        rows = []
         if (
             st["expected"] is not None
             and not st["done"]
@@ -86,17 +90,24 @@ def _keyed_func(cfg: DetectorConfig):
                     st["next"] = st["expected"] + 1
                 res = det.finish()
                 st["done"] = True
-                rows = [(key[0], "outlier", int(i)) for i in res["outliers"]]
                 rows += [
                     (key[0], "n_only_inlier", res["n_only_inlier"]),
                     (key[0], "n_only_outlier", res["n_only_outlier"]),
                     (key[0], "n_both_inlier_outlier", res["n_both_inlier_outlier"]),
                 ]
-                out = pd.DataFrame(rows, columns=["key", "kind", "value"])
+
+        # emit outliers recorded by expiry (or by the flush above) in THIS
+        # trigger — streaming consumers see violations as soon as the
+        # semantics finalize them, not at end-of-stream
+        new_out = det._outliers - emitted
+        rows = [
+            (key[0], "outlier", int(i)) for i in sorted(new_out)
+        ] + rows
+        emitted |= new_out
 
         state.update((pickle.dumps(st),))
-        if out is not None:
-            yield out
+        if rows:
+            yield pd.DataFrame(rows, columns=["key", "kind", "value"])
 
     return func
 
