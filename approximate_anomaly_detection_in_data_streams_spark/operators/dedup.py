@@ -117,69 +117,62 @@ def ngram_jaccard_pairs(
 def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str, n: int = 3, num_perm: int = 64, seed: int = 42
 ) -> DataFrame:
-    """MinHash signatures: (id, sig ARRAY<BIGINT>[num_perm]).
+    """MinHash signatures: (id, sig ARRAY<BIGINT>[num_perm]) — MAP-ONLY.
 
-    Each distinct shingle hashes ONCE (JVM xxhash64); the num_perm
-    permutations are seeded multiply-shift maps h_p(x) = a_p*x + b_p over
-    uint64 (a_p odd => bijective), applied as one vectorized outer product
-    with a segment-min (np.minimum.reduceat) per document. Deterministic
-    under ``seed``; ~num_perm x less hashing work than hashing per
-    (shingle, permutation).
+    Runs as one mapInPandas pass over the raw documents: per doc, the
+    distinct char n-gram shingles are derived in NumPy (codepoints via a
+    utf-32 view, packed n-at-a-time into one int — an exact, collision-
+    free shingle id for n <= 3), then the num_perm seeded multiply-shift
+    permutations h_p(x) = a_p*x + b_p over uint64 (a_p odd => bijective)
+    reduce to their minima in one small matrix op. No explode, no
+    distinct, no shuffle — the signature stage costs one scan, which is
+    the shape that survives a 100 TB corpus (the previous formulation
+    shuffled ~300 shingle rows per document twice).
+
+    Signatures only drive banding/estimates; the exact verify in
+    ``minhash_lsh_pairs`` hashes shingles independently, so the shingle
+    id scheme here needs determinism, not oracle portability. Seeded,
+    deterministic, and per-doc buffers stay tiny (no fresh multi-MB
+    allocations — BENCH.md).
     """
-    sh = char_shingles(df, id_col, text_col, n).select(
-        "id", F.xxhash64("shingle", F.lit(seed)).alias("h")
-    )
+    if n > 3:
+        raise ValueError("packed shingle ids support n <= 3 (21 bits/char)")
     rng = np.random.default_rng(seed)
     A = (rng.integers(0, 1 << 63, size=num_perm, dtype=np.uint64) << np.uint64(1)) | np.uint64(1)
     B = rng.integers(0, 1 << 63, size=num_perm, dtype=np.uint64)
+    # mix the packed shingle id once (splitmix-style) so adjacent
+    # shingles don't produce correlated permutation inputs
+    MIX1, MIX2 = np.uint64(0xBF58476D1CE4E5B9), np.uint64(0x94D049BB133111EB)
 
     def emit(batches):
-        chunks = [c for c in batches if len(c)]
-        if not chunks:
-            return
-        pdf = pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else chunks[0]
-        order = np.argsort(pdf["id"].to_numpy(), kind="stable")
-        ids = pdf["id"].to_numpy()[order]
-        hs = pdf["h"].to_numpy()[order].view(np.uint64)
-        starts = np.flatnonzero(np.concatenate(([True], ids[1:] != ids[:-1])))
-        bounds = np.append(starts, len(ids))
-        # the (rows x num_perm) permutation plane is the task's dominant
-        # allocation — walk it in group-aligned chunks through ONE
-        # preallocated buffer (this VM collapses under concurrent fresh
-        # multi-MB allocations; see BENCH.md)
-        target = 16384
-        M_buf = np.empty((target, num_perm), dtype=np.uint64)
-        out_sigs = []
-        out_ids = []
-        g0 = 0
-        n_groups = len(starts)
-        while g0 < n_groups:
-            g1 = g0 + 1
-            while g1 < n_groups and bounds[g1 + 1] - bounds[g0] <= target:
-                g1 += 1
-            r0, r1 = int(bounds[g0]), int(bounds[g1])
-            m = r1 - r0
-            if m > len(M_buf):
-                M_buf = np.empty((m, num_perm), dtype=np.uint64)
-            M = M_buf[:m]
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf["id"].to_numpy()
+            texts = pdf["text"].to_numpy()
+            sigs = np.empty((len(ids), num_perm), dtype=np.uint64)
             with np.errstate(over="ignore"):
-                np.multiply(hs[r0:r1, None], A[None, :], out=M)
-                M += B[None, :]
-            mins = np.minimum.reduceat(M, starts[g0:g1] - r0, axis=0)
-            out_sigs.append(mins.view(np.int64).copy())
-            out_ids.append(ids[starts[g0:g1]])
-            g0 = g1
-        sigs = np.concatenate(out_sigs)
-        yield pd.DataFrame(
-            {"id": np.concatenate(out_ids), "sig": list(sigs)}
-        )
+                for i, t in enumerate(texts):
+                    cp = np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32)
+                    if len(cp) < n:
+                        cp = np.frombuffer(
+                            (t + "\0" * n).encode("utf-32-le"), dtype=np.uint32
+                        )[:n]
+                    packed = np.zeros(len(cp) - n + 1, dtype=np.uint64)
+                    for j in range(n):
+                        packed = (packed << np.uint64(21)) | cp[
+                            j : len(cp) - n + 1 + j
+                        ].astype(np.uint64)
+                    h = np.unique(packed)
+                    h = (h ^ (h >> np.uint64(30))) * MIX1
+                    h = (h ^ (h >> np.uint64(27))) * MIX2
+                    h ^= h >> np.uint64(31)
+                    sigs[i] = (h[:, None] * A[None, :] + B[None, :]).min(axis=0)
+            yield pd.DataFrame({"id": ids, "sig": list(sigs.view(np.int64))})
 
-    sp = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "64"))
-    return (
-        sh.repartition(sp, "id")
-        .sortWithinPartitions("id")
-        .mapInPandas(emit, "id long, sig array<long>")
-    )
+    return df.select(
+        F.col(id_col).alias("id"), F.col(text_col).alias("text")
+    ).mapInPandas(emit, "id long, sig array<long>")
 
 
 def minhash_lsh_pairs(
