@@ -361,10 +361,32 @@ def q_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_srp_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SRP-LSH bucketed approximate top-k (rows-only; seeded projections)."""
+    """SRP-LSH bucketed approximate top-k. The projection dot products
+    accumulate left-to-right over dims in the kernel (operators/knn.py::
+    srp_bucket_keys), so the SQL twin re-derives bit-identical sign bits
+    from the same seeded float literals and replays the full candidate
+    pipeline (bucket equi-join + Hamming-1 multiprobe + exact re-rank) —
+    the approximate ANN operator is exactly oracle-checked end to end."""
     emb = _load(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < KNN_NQ)
     return knn_ops.srp_ann_topk(emb, queries, "vec_id", "embedding", dim=64, k=KNN_K)
+
+
+IVF_NLIST, IVF_NPROBE = 32, 8
+
+
+def q_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-Flat bucketed approximate top-k (operators/knn.py::ivf_ann_topk).
+    Centroid selection (portable md5 priority) and assignment (sequential
+    left-to-right distance accumulation) are bit-reproducible in SQL, so
+    the inverted-file ANN operator is exactly oracle-checked end to end —
+    the IVF counterpart of the SRP-LSH twin."""
+    emb = _load(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < KNN_NQ)
+    return knn_ops.ivf_ann_topk(
+        emb, queries, "vec_id", "embedding", dim=64, k=KNN_K,
+        nlist=IVF_NLIST, nprobe=IVF_NPROBE,
+    )
 
 
 # ---- text analysis ----
@@ -478,6 +500,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": q_embedding_neardup,
         "knn_bruteforce": q_knn_bruteforce,
         "srp_ann": q_srp_ann,
+        "ivf_ann": q_ivf_ann,
         "lang_id_documents": q_lang_id_documents,
         "quality_documents": q_quality_documents,
         "token_counts_documents": q_token_counts_documents,
@@ -921,6 +944,128 @@ where rank <= {KNN_K} order by query_id, rank
 """
 
 
+SRP_DIM, SRP_BITS, SRP_TABLES, SRP_SEED = 64, 8, 16, 42
+
+
+def _srp_ann_sql() -> str:
+    """SQL twin of q_srp_ann: re-derives the SRP bucket keys from the same
+    seeded Gaussian float literals with an explicit left-to-right dot-
+    product sum (bit-identical IEEE ops to the kernel's sequential
+    accumulation), replays the (table, key) candidate equi-join with the
+    query-side Hamming-1 multiprobe, then the exact cosine re-rank — the
+    same structure as _lshod_outliers_sql for the detector."""
+    from approximate_anomaly_detection_in_data_streams_spark.operators.knn import (
+        srp_projections,
+    )
+
+    A = srp_projections(SRP_DIM, SRP_BITS, SRP_TABLES, SRP_SEED)
+    key_exprs = []
+    for t in range(SRP_TABLES):
+        bits = []
+        for b in range(SRP_BITS):
+            row = A[t * SRP_BITS + b]
+            dot = " + ".join(f"e[{i + 1}]*{float(row[i])!r}" for i in range(SRP_DIM))
+            bits.append(f"case when ({dot}) > 0 then {1 << b} else 0 end")
+        key_exprs.append("cast(" + " + ".join(bits) + f" as bigint) as k{t}")
+    keys_cols = ",\n    ".join(key_exprs)
+    key_rows = "\n  union all\n  ".join(
+        f"select id, {t} as t, k{t} as key from keys" for t in range(SRP_TABLES)
+    )
+    probes = ", ".join(str(p) for p in [0] + [1 << j for j in range(SRP_BITS)])
+    return f"""
+with v as (
+  select vec_id as id, list_transform(embedding, x -> cast(x as double)) as e
+  from embeddings
+), keys as materialized (
+  select id,
+    {keys_cols}
+  from v
+), tk as materialized (
+  {key_rows}
+), qk as (
+  select t.id as query_id, t.t, xor(t.key, p.p) as key
+  from tk t, unnest([{probes}]) as p(p)
+  where t.id < {KNN_NQ}
+), cand as (
+  select distinct q.query_id, c.id as neighbor_id
+  from qk q join tk c on c.t = q.t and c.key = q.key
+  where c.id <> q.query_id
+), scored as (
+  select cand.query_id, cand.neighbor_id,
+    round(list_dot_product(q.e, n.e) /
+          (sqrt(list_dot_product(q.e, q.e)) * sqrt(list_dot_product(n.e, n.e))), 6)
+      as cosine
+  from cand
+  join v q on q.id = cand.query_id
+  join v n on n.id = cand.neighbor_id
+), ranked as (
+  select query_id, neighbor_id, cosine,
+    row_number() over (partition by query_id
+                       order by cosine desc, neighbor_id asc) as rank
+  from scored
+)
+select query_id, neighbor_id, cosine, rank from ranked
+where rank <= {KNN_K} order by query_id, rank
+"""
+
+
+def _ivf_ann_sql() -> str:
+    """SQL twin of q_ivf_ann: same md5-priority codebook, same unit-sphere
+    squared-L2 assignment with an explicit left-to-right (e[i]-c[i])^2
+    sum (bit-identical to the kernel's sequential accumulation), same
+    nprobe probing and exact cosine re-rank."""
+    from approximate_anomaly_detection_in_data_streams_spark.operators.knn import (
+        IVF_SALT,
+    )
+
+    d2 = " + ".join(
+        f"(a.e[{i}]-c.ce[{i}])*(a.e[{i}]-c.ce[{i}])" for i in range(1, SRP_DIM + 1)
+    )
+    return f"""
+with v as (
+  select vec_id as id, list_transform(embedding, x -> cast(x as double)) as e
+  from embeddings
+), vn as (
+  select id, list_transform(e, x -> x / sqrt(list_dot_product(e, e))) as e
+  from v
+), pri as (
+  select id, e,
+    ('0x' || substr(md5(cast(id as varchar) || '{IVF_SALT}'), 1, 15))::bigint as p
+  from vn
+), cent as (
+  select id as cid, e as ce,
+    row_number() over (order by p, id) - 1 as cidx
+  from pri order by p, id limit {IVF_NLIST}
+), assign as (
+  select a.id, c.cidx,
+    row_number() over (partition by a.id order by {d2} asc, c.cidx asc) as rk
+  from vn a cross join cent c
+), corpus_assign as (
+  select id, cidx from assign where rk = 1
+), qprobe as (
+  select id, cidx from assign where rk <= {IVF_NPROBE} and id < {KNN_NQ}
+), cand as (
+  select q.id as query_id, c.id as neighbor_id
+  from qprobe q join corpus_assign c on c.cidx = q.cidx and c.id <> q.id
+), scored as (
+  select cand.query_id, cand.neighbor_id,
+    round(list_dot_product(q.e, n.e) /
+          (sqrt(list_dot_product(q.e, q.e)) * sqrt(list_dot_product(n.e, n.e))), 6)
+      as cosine
+  from cand
+  join v q on q.id = cand.query_id
+  join v n on n.id = cand.neighbor_id
+), ranked as (
+  select query_id, neighbor_id, cosine,
+    row_number() over (partition by query_id
+                       order by cosine desc, neighbor_id asc) as rank
+  from scored
+)
+select query_id, neighbor_id, cosine, rank from ranked
+where rank <= {KNN_K} order by query_id, rank
+"""
+
+
 def _fingerprint_sql() -> str:
     return f"""
 select doc_id,
@@ -1025,6 +1170,8 @@ from documents group by 1 having count(*) > 1 order by n_dup desc, min_id
         "dedup_groups": _dedup_groups_sql(),
         "embedding_neardup": _embedding_neardup_sql(),
         "knn_bruteforce": _knn_sql(),
+        "srp_ann": _srp_ann_sql(),
+        "ivf_ann": _ivf_ann_sql(),
         "lang_id_documents": _lang_id_sql(),
         "quality_documents": _quality_sql(),
         "token_counts_documents": """

@@ -73,16 +73,31 @@ def brute_force_topk(
     )
 
 
+def srp_projections(dim: int, bits: int = 12, tables: int = 4, seed: int = 42) -> np.ndarray:
+    """Seeded (tables*bits, dim) Gaussian projection matrix — the single
+    source of truth shared by the Spark kernel and the SQL oracle builder
+    (__spark_entry__._srp_ann_sql), which inlines the same float literals."""
+    rng = np.random.default_rng(seed)
+    return rng.normal(size=(tables * bits, dim))
+
+
 def srp_bucket_keys(
     df: DataFrame, vec_col: str, dim: int, bits: int = 12, tables: int = 4, seed: int = 42
 ) -> DataFrame:
     """Sign-random-projection bucket keys: ``buckets ARRAY<BIGINT>`` (one/table).
 
-    One Arrow-batched matmul computes all tables x bits signs; key = packed
+    One Arrow-batched pass computes all tables x bits signs; key = packed
     sign bits. Two vectors collide in a table with prob (1 - theta/pi)^bits.
+
+    The projection dot products accumulate over dims LEFT-TO-RIGHT
+    (((x0*a0) + x1*a1) + ...) instead of np.matmul's unspecified blocked
+    order: IEEE addition is deterministic for a fixed order, so an oracle
+    re-deriving the dots as an explicit SQL sum over the same float
+    literals sees bit-identical signs — the same portability trick as the
+    LSHOD bucket keys (operators/lsh.py::with_bucket_keys). Still fully
+    vectorized: dim in-place (n x tables*bits) multiply-adds.
     """
-    rng = np.random.default_rng(seed)
-    A = rng.normal(size=(tables * bits, dim))
+    A = srp_projections(dim, bits, tables, seed)
     weights = (1 << np.arange(bits, dtype=np.int64))
     # worker-lifetime scratch: the projection plane is re-used across
     # Arrow batches instead of freshly allocated (this VM collapses under
@@ -96,12 +111,138 @@ def srp_bucket_keys(
         P = scratch.get("P")
         if P is None or len(P) < n:
             scratch["P"] = P = np.empty((n, tables * bits))
-        np.matmul(X, A.T, out=P[:n])
-        signs = (P[:n] > 0).reshape(n, tables, bits)
+            scratch["T"] = np.empty((n, tables * bits))
+        Pn, Tn = P[:n], scratch["T"][:n]
+        np.multiply(X[:, 0:1], A[None, :, 0].reshape(1, -1), out=Pn)
+        for j in range(1, dim):
+            np.multiply(X[:, j : j + 1], A[None, :, j].reshape(1, -1), out=Tn)
+            Pn += Tn
+        signs = (Pn > 0).reshape(n, tables, bits)
         packed = (signs * weights).sum(axis=2).astype(np.int64)
         return pd.Series(list(packed))
 
     return df.withColumn("buckets", keys(F.col(vec_col)))
+
+
+IVF_SALT = "_ivf"
+
+
+def ivf_centroids(
+    vectors: DataFrame, id_col: str, vec_col: str, nlist: int = 32
+) -> np.ndarray:
+    """Deterministic, SQL-portable IVF coarse quantizer: the ``nlist``
+    corpus vectors with the smallest md5-derived priority (the same
+    portable-hash trick as the ApproxMCOD eviction priority), unit-
+    normalized, ordered by (priority, id) — that order IS the centroid
+    index, so an oracle re-derives the identical codebook. At production
+    scale you would refine these with a few Lloyd iterations on a sample;
+    random centroids are the standard quick-index baseline (FAISS-style)
+    and keep the operator exactly replayable in SQL.
+
+    Returns (nlist, dim) float64, rows unit-normalized with a sequential
+    left-to-right norm accumulation (bit-reproducible fold).
+    """
+    idc = F.col(id_col).cast("long")
+    prio = (
+        F.conv(
+            F.substring(F.md5(F.concat(idc.cast("string"), F.lit(IVF_SALT))), 1, 15),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("_p")
+    )
+    rows = (
+        vectors.select(idc.alias("id"), F.col(vec_col).alias("vec"), prio)
+        .orderBy("_p", "id")
+        .limit(nlist)
+        .collect()
+    )
+    C = np.stack([np.asarray(r["vec"], dtype=np.float64) for r in rows])
+    return C / _seq_norm(C)[:, None]
+
+
+def _seq_norm(X: np.ndarray) -> np.ndarray:
+    """sqrt of a left-to-right accumulated sum of squares per row."""
+    acc = X[:, 0] * X[:, 0]
+    for j in range(1, X.shape[1]):
+        acc = acc + X[:, j] * X[:, j]
+    return np.sqrt(acc)
+
+
+def _ivf_probe_udf(C: np.ndarray, nprobe: int):
+    """pandas UDF: the ``nprobe`` nearest centroid indexes of each vector
+    (ascending squared-L2 on the unit sphere, ties by centroid index).
+    Distances accumulate over dims left-to-right so the SQL twin's explicit
+    (e[i]-c[i])^2 sum sees the same doubles."""
+    nlist, dim = C.shape
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def probes(vecs: pd.Series) -> pd.Series:
+        X = np.stack(vecs.to_numpy()).astype(np.float64)
+        Xn = X / _seq_norm(X)[:, None]
+        d = Xn[:, 0:1] - C[None, :, 0]
+        D = d * d
+        for j in range(1, dim):
+            d = Xn[:, j : j + 1] - C[None, :, j]
+            D += d * d
+        order = np.argsort(D, axis=1, kind="stable")[:, :nprobe].astype(np.int32)
+        return pd.Series(list(order))
+
+    return probes
+
+
+def ivf_ann_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    k: int = 5,
+    nlist: int = 32,
+    nprobe: int = 8,
+) -> DataFrame:
+    """IVF-Flat approximate top-k: inverted-file coarse quantization +
+    exact cosine re-rank — the second scale path beside SRP-LSH.
+
+    Corpus vectors land in exactly ONE centroid bucket (one shuffle keyed
+    by centroid id — bounded, skew-free for spread-out codebooks); each
+    query probes its ``nprobe`` nearest centroids, so candidates come from
+    an equi-join on the centroid id covering nprobe/nlist of the corpus.
+    The reference analog is the same sketch-then-verify shape as its LSH
+    index (/root/reference/src/core/lsh/LSHIndex.java:33-44) with a
+    learned/selected codebook instead of random projections.
+
+    Centroids and assignments are bit-portable (see ivf_centroids /
+    _ivf_probe_udf), so the full operator carries an exact DuckDB oracle
+    (__spark_entry__._ivf_ann_sql). Output: (query_id, neighbor_id,
+    cosine, rank), rank <= k.
+    """
+    C = ivf_centroids(vectors, id_col, vec_col, nlist)
+    assign1 = _ivf_probe_udf(C, 1)
+    assignp = _ivf_probe_udf(C, nprobe)
+    corpus = vectors.select(
+        F.col(id_col).cast("long").alias("neighbor_id"), F.col(vec_col).alias("nvec")
+    ).withColumn("cidx", assign1(F.col("nvec"))[0])
+    q = queries.select(
+        F.col(id_col).cast("long").alias("query_id"), F.col(vec_col).alias("qvec")
+    ).withColumn("cidx", F.explode(assignp(F.col("qvec"))))
+    cand = (
+        q.join(corpus, "cidx")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "qvec", "neighbor_id", "nvec")
+    )
+    qd = F.transform("qvec", lambda x: x.cast("double"))
+    nd = F.transform("nvec", lambda x: x.cast("double"))
+    scored = cand.select(
+        "query_id", "neighbor_id", F.round(_cosine_col(qd, nd), 6).alias("cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )
 
 
 def srp_ann_topk(

@@ -2,12 +2,16 @@
 local[$SPARK_GRAFT_CPUS]; prints ONE JSON line.
 
 Each query is forced with a noop-sink write (full materialization, no
-driver collect). ``value`` is total wall seconds across headline queries;
-``throughput_rows_per_s`` reports the flagship detector's validated
-rows/sec (the BASELINE.json metric at sandbox scale).
+driver collect). ``value`` is total wall seconds across headline queries.
+``validated_images_per_s`` is the BASELINE.json headline metric: the full
+image validation pipeline (decode + PSNR/caption invariants + stats +
+uniqueness + dup groups + anomaly + drift + verdicts) timed over a
+deterministic synthetic image+caption table (generation is excluded from
+the timing; the parquet is cached under $AADS_BENCH_DIR between runs).
+``detector_rows_per_s`` reports the flagship detector's throughput.
 
 Scaling-efficiency evidence (north_rule: N vs 4N executors, sandbox proxy
-local[8] vs local[32]) lives in scripts/bench_scaling.py, results in
+2 vs 8 pinned CPUs) lives in scripts/bench_scaling.py, results in
 BENCH.md / BASELINE.md.
 """
 
@@ -22,6 +26,8 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+BENCH_DIR = os.environ.get("AADS_BENCH_DIR", "/tmp/aads_bench")
+IMG_N = int(os.environ.get("AADS_BENCH_IMG_N", "100000"))
 
 # Headline set: detector core (exact + LSH), validator profile, dedup,
 # similarity search, text analysis. Names match __spark_entry__.queries().
@@ -49,6 +55,53 @@ HEADLINE = [
 ]
 
 
+def _image_validation_throughput(spark) -> float:
+    """Validated images/sec for the full pipeline (BASELINE.json metric).
+    Table generation is cached to parquet and excluded from the timing."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from approximate_anomaly_detection_in_data_streams_spark.config import (
+        DetectorConfig,
+    )
+    from approximate_anomaly_detection_in_data_streams_spark.sources.images import (
+        ImageTableConfig,
+        generate_images,
+        generate_reference,
+    )
+    from approximate_anomaly_detection_in_data_streams_spark.validator import (
+        ImageValidatorConfig,
+        validate_images,
+    )
+
+    cfg = ImageTableConfig(n=IMG_N, seed=7, partitions=4 * CPUS, size_scale=2)
+    img_path = os.path.join(BENCH_DIR, f"images_{IMG_N}_s2.parquet")
+    ref_path = os.path.join(BENCH_DIR, f"reference_{IMG_N}_s2.parquet")
+    if not (os.path.exists(img_path) and os.path.exists(ref_path)):
+        generate_images(spark, cfg).write.mode("overwrite").parquet(img_path)
+        generate_reference(spark, cfg).write.mode("overwrite").parquet(ref_path)
+    images = spark.read.parquet(img_path)
+    reference = spark.read.parquet(ref_path)
+    images.count()
+    reference.count()
+
+    vcfg = ImageValidatorConfig(drift=DetectorConfig(w=400, slide=100, r=40.0, k=6))
+    t0 = time.perf_counter()
+    report = validate_images(images, reference, vcfg)
+    report.row_checks.count()
+    report.features.count()
+    sinks = [
+        report.partition_stats,
+        report.uniqueness,
+        report.phash_dups,
+        report.violations,
+        report.drift_slides,
+        report.partition_verdicts,
+    ]
+    with ThreadPoolExecutor(max_workers=len(sinks)) as pool:
+        list(pool.map(lambda df: df.write.format("noop").mode("overwrite").save(), sinks))
+    return IMG_N / (time.perf_counter() - t0)
+
+
 def main() -> None:
     import __spark_entry__ as entrymod
     from approximate_anomaly_detection_in_data_streams_spark.session import get_spark
@@ -68,6 +121,7 @@ def main() -> None:
     total = round(sum(times.values()), 3)
     n_events = spark.read.parquet(f"{SF_DIR}/events.parquet").count()
     det_secs = times["mcod_outliers"]
+    img_per_s = _image_validation_throughput(spark)
     sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
     print(
         json.dumps(
@@ -79,6 +133,8 @@ def main() -> None:
                 "sf": float(sf) if sf else None,
                 "cpus": CPUS,
                 "detector_rows_per_s": round(n_events / det_secs, 1),
+                "validated_images_per_s": round(img_per_s, 1),
+                "validated_images_n": IMG_N,
             }
         )
     )

@@ -266,3 +266,44 @@ def test_srp_ann_recall_vs_bruteforce(spark, sf_dir):
         ).collect()
     }
     assert len(brute & ann) / len(brute) >= 0.7
+
+
+def test_ivf_ann_recall_vs_bruteforce(spark, sf_dir):
+    """IVF-Flat (nprobe=8 of nlist=32 buckets) must recall most of the
+    exact cosine top-k; assignment buckets are deterministic (portable
+    md5 codebook), so this is stable across runs."""
+    from approximate_anomaly_detection_in_data_streams_spark.operators import knn
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 20)
+    brute = {
+        (r.query_id, r.neighbor_id)
+        for r in knn.brute_force_topk(emb, queries, "vec_id", "embedding", 5).collect()
+    }
+    ann = {
+        (r.query_id, r.neighbor_id)
+        for r in knn.ivf_ann_topk(
+            emb, queries, "vec_id", "embedding", dim=64, k=5
+        ).collect()
+    }
+    assert len(brute & ann) / len(brute) >= 0.6
+
+
+def test_ivf_corpus_partitioning(spark, sf_dir):
+    """Every corpus vector lands in exactly one centroid bucket, and the
+    buckets cover the corpus (the one-shuffle IVF invariant)."""
+    from approximate_anomaly_detection_in_data_streams_spark.operators import knn
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    C = knn.ivf_centroids(emb, "vec_id", "embedding", nlist=32)
+    assert C.shape == (32, 64)
+    assign = knn._ivf_probe_udf(C, 1)
+    counts = (
+        emb.select(F.col("vec_id"), assign(F.col("embedding"))[0].alias("cidx"))
+        .groupBy("cidx")
+        .count()
+        .collect()
+    )
+    n = emb.count()
+    assert sum(r["count"] for r in counts) == n
+    assert all(0 <= r["cidx"] < 32 for r in counts)
