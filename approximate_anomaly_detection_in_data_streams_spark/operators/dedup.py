@@ -186,22 +186,30 @@ def minhash_lsh_pairs(
     seed: int = 42,
     bucket_cap: int | None = 4000,
     est_margin: float = 0.25,
+    block_size: int = 512,
 ) -> DataFrame:
     """Near-dup candidate pairs via MinHash banding + exact Jaccard verify.
 
     bands x rows layout (rows = num_perm / bands); a pair is a candidate iff
     some band's row-slice hashes collide — an equi-join on (band, band_hash),
-    which is the scalable path (no all-pairs). Two skew defenses keep hot
+    which is the scalable path (no all-pairs). Three skew defenses keep hot
     bands bounded on corpora where many documents are mutually similar:
 
-      * ``bucket_cap``: each (band, band_hash) bucket keeps at most this
-        many members, chosen by deterministic seeded hash order — the same
-        bounded-bucket approximation the reference applies under pressure
-        (/root/reference/src/core/lsh/HashTable.java:22-35, made
-        deterministic per SURVEY.md section 5);
+      * ``bucket_cap``: a (band, band_hash) bucket larger than the cap is
+        deterministically thinned (member kept iff its seeded hash is 0 mod
+        ceil(m/cap)) — the bounded-bucket approximation the reference
+        applies under pressure (/root/reference/src/core/lsh/
+        HashTable.java:22-35, made deterministic per SURVEY.md section 5);
+        exact whenever no bucket exceeds the cap;
+      * ``block_size``: buckets are 2-D block-split — members hash into
+        ceil(m/block_size) blocks and every unordered block pair is an
+        independent kernel group — so a giant template bucket becomes many
+        bounded tasks instead of one quadratic straggler (the same grid as
+        embedding_neardup_pairs). Work is unchanged; the wall clock stops
+        being max-bucket-bound;
       * signature-estimate pre-filter: candidates whose fraction of equal
         minhash components falls below ``threshold - est_margin`` are
-        dropped before the (expensive) exact shingle join.
+        dropped before the exact verification.
 
     Surviving candidates are verified with the exact shingle Jaccard, so
     output precision is 1.0; banding/cap/estimate only affect recall.
@@ -216,7 +224,10 @@ def minhash_lsh_pairs(
     Output: (id_a, id_b, jaccard) ordered.
     """
     rows = num_perm // bands
-    sig = minhash_signatures(df, id_col, text_col, n, num_perm, seed)
+    # persisted: the signature table feeds both the bucket-size aggregation
+    # and the fan-out join — without the persist the map-only signature
+    # kernel would run once per consumer
+    sig = minhash_signatures(df, id_col, text_col, n, num_perm, seed).persist()
     banded = sig.select(
         "id",
         "sig",
@@ -235,16 +246,56 @@ def minhash_lsh_pairs(
         ).alias("bk"),
     ).select("id", "sig", "bk.band", "bk.bh")
 
-    # Candidate generation runs entirely inside (band, band_hash) buckets
-    # as vectorized NumPy: cap each bucket deterministically, compare all
-    # member signatures pairwise (num_perm equality planes), emit only
-    # pairs whose estimated Jaccard clears threshold - est_margin. Buckets
-    # are co-located by a repartition + sortWithinPartitions and scanned
-    # per PARTITION (mapInPandas), not per group — thousands of tiny
-    # buckets would pay per-group Arrow overhead otherwise. No pair-level
-    # shuffle of signature payloads ever happens.
+    # Dataflow: banded keys -> bucket sizes -> thin oversized buckets
+    # (bucket_cap) -> 2-D block split (block_size) -> per-block-pair
+    # signature-estimate kernel -> distinct candidate pairs -> exact
+    # verify against a broadcast of the raw texts. Load-bearing choices:
+    #
+    #  * the estimate kernel runs per PARTITION (mapInPandas over
+    #    repartition+sortWithinPartitions), not per group — thousands of
+    #    tiny buckets would pay per-group Arrow overhead otherwise — and
+    #    giant buckets are block-split so no single task owns a quadratic
+    #    straggler (measured: one 2524-member template bucket costs ~1.3 s
+    #    of dense planes; a handful hashing into one partition dominated
+    #    the stage wall);
+    #  * candidate pairs cross the wire as BARE (id_a, id_b) int rows.
+    #    The previous formulation joined two ~300-hash array payloads onto
+    #    every candidate (~25 GB of Arrow traffic at sf0.1 for a
+    #    905-row output — measured 3x the rest of the pipeline). The
+    #    distinct() both dedupes across bands and hash-balances the verify
+    #    input;
+    #  * verification recomputes each document's shingle set from a
+    #    broadcast of the raw texts (far smaller than hash-set tables),
+    #    memoized per task, packed codepoints exactly like
+    #    minhash_signatures — so the verified jaccard is EXACT string
+    #    jaccard (collision-free shingle ids for n <= 3). For corpora
+    #    whose text dictionary outgrows a broadcast, shard it by id range
+    #    and run one verify pass per shard (pairs verified in the shard
+    #    owning id_a); the candidate dataflow is unchanged.
     cut = threshold - est_margin
     cap = bucket_cap or (1 << 30)
+    sizes = banded.groupBy("band", "bh").agg(F.count(F.lit(1)).alias("m"))
+    keyed = banded.join(sizes, ["band", "bh"])
+    if bucket_cap is not None:
+        stride = F.ceil(F.col("m") / F.lit(cap)).cast("long")
+        keyed = keyed.where(
+            (F.col("m") <= cap)
+            | (F.pmod(F.xxhash64("id", F.lit(seed)), stride) == 0)
+        )
+    nb = F.greatest(F.ceil(F.col("m") / F.lit(block_size)).cast("int"), F.lit(1))
+    keyed = keyed.withColumn(
+        "bi", F.pmod(F.xxhash64("id", F.lit(seed + 1)), nb).cast("int")
+    )
+    block_pairs = F.transform(
+        F.sequence(F.lit(0), nb - 1),
+        lambda x: F.struct(
+            F.least(F.col("bi"), x).alias("lo"),
+            F.greatest(F.col("bi"), x).alias("hi"),
+        ),
+    )
+    fanned = keyed.select(
+        "id", "sig", "band", "bh", "bi", F.explode(block_pairs).alias("t")
+    ).select("id", "sig", "band", "bh", "bi", "t.lo", "t.hi")
 
     def emit(batches) -> "pd.DataFrame":
         chunks = [c for c in batches if len(c)]
@@ -253,16 +304,24 @@ def minhash_lsh_pairs(
         pdf = pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else chunks[0]
         band = pdf["band"].to_numpy()
         bh = pdf["bh"].to_numpy()
-        order = np.lexsort((bh, band))
-        band, bh = band[order], bh[order]
+        lo = pdf["lo"].to_numpy()
+        hi = pdf["hi"].to_numpy()
+        order = np.lexsort((hi, lo, bh, band))
+        band, bh, lo, hi = band[order], bh[order], lo[order], hi[order]
         ids_all = pdf["id"].to_numpy()[order]
+        bi_all = pdf["bi"].to_numpy()[order]
         sigs_all = pdf["sig"].to_numpy()[order]
-        changed = (band[1:] != band[:-1]) | (bh[1:] != bh[:-1])
+        changed = (
+            (band[1:] != band[:-1])
+            | (bh[1:] != bh[:-1])
+            | (lo[1:] != lo[:-1])
+            | (hi[1:] != hi[:-1])
+        )
         bounds = np.flatnonzero(np.concatenate(([True], changed)))
         bounds = np.append(bounds, len(band))
-        # preallocated scratch reused across buckets: per-bucket fresh
+        # preallocated scratch reused across groups: per-group fresh
         # allocation of the m x m planes would churn gigabytes
-        max_m = min(int((bounds[1:] - bounds[:-1]).max()), cap)
+        max_m = int((bounds[1:] - bounds[:-1]).max())
         S_buf = np.empty((max_m, num_perm), dtype=np.int64)
         agree = np.empty((max_m, max_m), dtype=np.int16)
         eq = np.empty((max_m, max_m), dtype=bool)
@@ -272,89 +331,94 @@ def minhash_lsh_pairs(
             if m < 2:
                 continue
             ids = ids_all[b0:b1]
-            sl = slice(b0, b1)
-            if m > cap:
-                pick = np.argsort(
-                    (ids * np.int64(0x9E3779B9) + seed) & 0x7FFFFFFF
-                )[:cap]
-                pick.sort()
-                ids = ids[pick]
-                sigs = sigs_all[sl][pick]
-                m = cap
-            else:
-                sigs = sigs_all[sl]
+            sigs = sigs_all[b0:b1]
             S = S_buf[:m]
             for j in range(m):
                 S[j] = sigs[j]
-            a = agree[:m, :m]
-            e = eq[:m, :m]
-            a[:] = 0
-            for p in range(num_perm):
-                col = S[:, p]
-                np.equal(col[:, None], col[None, :], out=e)
-                a += e
-            np.less(ids[:, None], ids[None, :], out=e)
-            np.logical_and(a >= cut * num_perm, e, out=e)
-            ai, bj = np.nonzero(e)
-            out_a.append(ids[ai])
-            out_b.append(ids[bj])
+            if lo[b0] == hi[b0]:
+                a = agree[:m, :m]
+                e = eq[:m, :m]
+                a[:] = 0
+                for p in range(num_perm):
+                    col = S[:, p]
+                    np.equal(col[:, None], col[None, :], out=e)
+                    a += e
+                np.less(ids[:, None], ids[None, :], out=e)
+                np.logical_and(a >= cut * num_perm, e, out=e)
+                ai, bj = np.nonzero(e)
+                ia, ib = ids[ai], ids[bj]
+            else:
+                side = bi_all[b0:b1] == lo[b0]
+                xi = np.flatnonzero(side)
+                yi = np.flatnonzero(~side)
+                ma, mb = len(xi), len(yi)
+                if ma == 0 or mb == 0:
+                    continue
+                a = agree[:ma, :mb]
+                e = eq[:ma, :mb]
+                a[:] = 0
+                for p in range(num_perm):
+                    np.equal(
+                        S[xi, p][:, None], S[yi, p][None, :], out=e
+                    )
+                    a += e
+                ai, bj = np.nonzero(a >= cut * num_perm)
+                u, v = ids[xi][ai], ids[yi][bj]
+                ia, ib = np.minimum(u, v), np.maximum(u, v)
+            out_a.append(ia)
+            out_b.append(ib)
         if out_a:
             yield pd.DataFrame(
                 {"id_a": np.concatenate(out_a), "id_b": np.concatenate(out_b)}
             )
 
-    sp = banded.sparkSession.conf.get("spark.sql.shuffle.partitions", "64")
-    cand = (
-        banded.repartition(int(sp), "band", "bh")
-        .sortWithinPartitions("band", "bh")
-        .mapInPandas(emit, "id_a long, id_b long")
-        .distinct()
+    if n > 3:
+        raise ValueError("packed shingle verify supports n <= 3")
+    text_rows = df.select(
+        F.col(id_col).cast("long").alias("id"), F.col(text_col).alias("text")
+    ).collect()
+    btexts = df.sparkSession.sparkContext.broadcast(
+        {r["id"]: r["text"] for r in text_rows}
     )
-    # Verify candidates only: join each side to its shingle *set* and
-    # compute the exact intersection — work is O(#candidates x
-    # shingles/doc), never the all-pairs inverted-index blow-up (hot
-    # shingles would make that sum(df^2) at corpus scale). Sets are
-    # sorted 64-bit shingle hashes, not strings (no per-element string
-    # hashing; jaccard over hashed sets equals string jaccard up to
-    # 64-bit collisions, ~1e-9 at millions of distinct shingles, and
-    # deterministic under the seed either way). The set table is
-    # persisted ONCE and broadcast to both join sides (two broadcast
-    # exchanges would otherwise each recompute the shingle scan —
-    # broadcast inputs do not share work unless materialized), and the
-    # intersection itself runs as a searchsorted merge in an Arrow
-    # kernel: template-heavy corpora push millions of
-    # moderate-similarity candidates into the verify, and per-pair
-    # sorted-merge beats per-pair hash-set construction by ~10x there.
-    shingle_sets = (
-        char_shingles(df, id_col, text_col, n)
-        .select("id", F.xxhash64("shingle", F.lit(seed)).alias("h"))
-        .groupBy("id")
-        .agg(F.sort_array(F.collect_set("h")).alias("sh"))
-    ).persist()
-    sa = F.broadcast(
-        shingle_sets.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
-    )
-    sb = F.broadcast(
-        shingle_sets.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
-    )
-    joined = cand.join(sa, "id_a").join(sb, "id_b")
+
+    def _pack(t: str) -> np.ndarray:
+        cp = np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32)
+        if len(cp) < n:
+            cp = np.frombuffer((t + "\0" * n).encode("utf-32-le"), dtype=np.uint32)[:n]
+        packed = np.zeros(len(cp) - n + 1, dtype=np.uint64)
+        for j in range(n):
+            packed = (packed << np.uint64(21)) | cp[j : len(cp) - n + 1 + j].astype(
+                np.uint64
+            )
+        return np.unique(packed)
 
     def verify(batches):
+        texts = btexts.value
+        memo: dict[int, np.ndarray] = {}
+
+        def get(i: int) -> np.ndarray | None:
+            s = memo.get(i)
+            if s is None:
+                t = texts.get(i)
+                if t is None:
+                    return None
+                memo[i] = s = _pack(t)
+            return s
+
         for pdf in batches:
             if not len(pdf):
                 continue
-            a_sets = pdf["sh_a"].to_numpy()
-            b_sets = pdf["sh_b"].to_numpy()
+            ida = pdf["id_a"].to_numpy()
+            idb = pdf["id_b"].to_numpy()
             m = len(pdf)
-            jac = np.empty(m, dtype=np.float64)
+            jac = np.zeros(m, dtype=np.float64)
             for i in range(m):
-                A = a_sets[i]
-                B = b_sets[i]
+                A = get(int(ida[i]))
+                B = get(int(idb[i]))
+                if A is None or B is None or len(A) == 0 or len(B) == 0:
+                    continue
                 if len(A) > len(B):
                     A, B = B, A
-                if len(A) == 0:
-                    jac[i] = 0.0
-                    continue
                 pos = np.searchsorted(B, A)
                 pos[pos == len(B)] = 0
                 inter = int((B[pos] == A).sum())
@@ -362,15 +426,16 @@ def minhash_lsh_pairs(
             jac = _round_half_away(jac)
             keep = jac >= threshold
             yield pd.DataFrame(
-                {
-                    "id_a": pdf["id_a"].to_numpy()[keep],
-                    "id_b": pdf["id_b"].to_numpy()[keep],
-                    "jaccard": jac[keep],
-                }
+                {"id_a": ida[keep], "id_b": idb[keep], "jaccard": jac[keep]}
             )
 
+    sp = banded.sparkSession.conf.get("spark.sql.shuffle.partitions", "64")
     return (
-        joined.mapInPandas(verify, "id_a long, id_b long, jaccard double")
+        fanned.repartition(int(sp), "band", "bh", "lo", "hi")
+        .sortWithinPartitions("band", "bh", "lo", "hi")
+        .mapInPandas(emit, "id_a long, id_b long")
+        .distinct()  # dedupe across bands/blocks; also balances the verify input
+        .mapInPandas(verify, "id_a long, id_b long, jaccard double")
         .orderBy("id_a", "id_b")
     )
 
