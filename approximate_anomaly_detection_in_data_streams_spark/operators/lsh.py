@@ -94,13 +94,21 @@ def lsh_neighbor_pairs(
          the right side fans to its own and previous block), which bounds
          every join group at <= 2W points even for hot buckets; the exact
          band |slide_i - slide_j| <= W/S - 1 is a post-filter;
-      2. dedupe candidate id pairs across tables *before* any distance work
-         (the reference's HashSet union, /root/reference/src/core/lsh/
-         LSHIndex.java:33-44) — this is the big win over filtering first:
-         each surviving pair's distance is computed exactly once;
-      3. re-attach the feature vectors by id join and filter with the exact
-         Euclidean predicate via zip_with/aggregate (whole-stage codegen,
-         no Python round-trip).
+      2. dedupe candidate pairs across tables *inside the join* with a
+         min-table predicate: a pair is kept only at the FIRST table where
+         its keys collide (``NOT exists(t' < t with key_x[t'] ==
+         key_y[t'])`` — a pure codegen expression over the carried
+         bucket-key arrays). This reproduces the reference's HashSet union
+         (/root/reference/src/core/lsh/LSHIndex.java:33-44) without a
+         shuffle: the previous ``dropDuplicates`` formulation shuffled the
+         full join multiset (hundreds of millions of rows for hot 1-d
+         buckets at sf0.1) just to dedupe it, and then paid two more id
+         joins to re-attach features;
+      3. the exact Euclidean predicate (zip_with/aggregate, whole-stage
+         codegen) filters the deduped matches in the same join stage —
+         feature vectors ride on the keyed rows, so distance is evaluated
+         once per unique colliding pair and no pair row is ever
+         materialized to a shuffle before aggregation.
 
     ``bucket_cap`` optionally bounds each (table, key) bucket by seeded-hash
     order — the deterministic analog of the reference's bucket eviction
@@ -121,6 +129,8 @@ def lsh_neighbor_pairs(
     keyed = with_bucket_keys(points_with_slide, cfg, dim).select(
         "id",
         "slide",
+        "features",
+        "buckets",
         F.posexplode("buckets").alias("t", "key"),
         (((F.col("slide") - 1) / F.lit(cfg.ws)).cast("long")).alias("g"),
     )
@@ -134,33 +144,55 @@ def lsh_neighbor_pairs(
             .drop("_rn")
         )
     x = keyed.select(
-        F.col("id").alias("i"), F.col("slide").alias("slide_i"), "t", "key", "g"
+        F.col("id").alias("i"),
+        F.col("slide").alias("slide_i"),
+        F.col("features").alias("f_i"),
+        F.col("buckets").alias("xb"),
+        "t",
+        "key",
+        "g",
     )
     # right side appears under its own block (home) and the previous block
     # (guest): co-windowed pairs are same-block (i<j dedupes the double
     # match) or adjacent-block (guest row joins the earlier block exactly
     # once).
-    y_home = keyed.select(
+    y_cols = [
         F.col("id").alias("j"),
         F.col("slide").alias("slide_j"),
+        F.col("features").alias("f_j"),
+        F.col("buckets").alias("yb"),
         "t",
         "key",
-        "g",
-        F.lit(True).alias("home_j"),
-    )
-    y_guest = (
-        keyed.select(
-            F.col("id").alias("j"),
-            F.col("slide").alias("slide_j"),
-            "t",
-            "key",
-            (F.col("g") - 1).alias("g"),
-            F.lit(False).alias("home_j"),
-        )
-        .where(F.col("g") >= 0)
-    )
+    ]
+    y_home = keyed.select(*y_cols, "g", F.lit(True).alias("home_j"))
+    y_guest = keyed.select(
+        *y_cols, (F.col("g") - 1).alias("g"), F.lit(False).alias("home_j")
+    ).where(F.col("g") >= 0)
     y = y_home.unionByName(y_guest)
-    cand = (
+    # min-table dedupe: no earlier table t' < t may already collide.
+    # Unrolled scalar comparisons, NOT slice/zip_with/exists: higher-order
+    # array functions box per row, and these predicates run on the join's
+    # full candidate multiset (hundreds of millions of rows for hot
+    # buckets) — unrolling keeps them in flat whole-stage codegen.
+    collided_earlier = None
+    for tp in range(cfg.num_tables - 1):
+        c = (F.col("t") > tp) & (F.col("xb")[tp] == F.col("yb")[tp])
+        collided_earlier = c if collided_earlier is None else (collided_earlier | c)
+    first_collision = (
+        ~collided_earlier if collided_earlier is not None else F.lit(True)
+    )
+    if dim <= 32:  # unrolled distance for the same reason
+        d2 = None
+        for d in range(dim):
+            diff = F.col("f_i")[d] - F.col("f_j")[d]
+            d2 = diff * diff if d2 is None else d2 + diff * diff
+    else:
+        d2 = F.aggregate(
+            F.zip_with("f_i", "f_j", lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    matched = (
         x.join(y, ["t", "key", "g"])
         .where(
             (
@@ -168,28 +200,23 @@ def lsh_neighbor_pairs(
                 | (~F.col("home_j"))
             )
             & (F.abs(F.col("slide_i") - F.col("slide_j")) <= max_gap)
+            & first_collision
+            & (d2 <= F.lit(r2))
         )
         .select("i", "j", "slide_i", "slide_j")
-        .dropDuplicates(["i", "j"])
     )
-    feats = points_with_slide.select("id", "features")
-    fi = feats.select(F.col("id").alias("i"), F.col("features").alias("f_i"))
-    fj = feats.select(F.col("id").alias("j"), F.col("features").alias("f_j"))
-    d2 = F.aggregate(
-        F.zip_with("f_i", "f_j", lambda a, b: (a - b) * (a - b)),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
+    # both directions via ONE explode — a union of two projections of the
+    # same join would lose exchange reuse and run the join twice
+    both = F.array(
+        F.struct(
+            F.col("i"), F.col("j"),
+            F.col("slide_i"), F.col("slide_j"),
+        ),
+        F.struct(
+            F.col("j").alias("i"), F.col("i").alias("j"),
+            F.col("slide_j").alias("slide_i"), F.col("slide_i").alias("slide_j"),
+        ),
     )
-    pairs = (
-        cand.join(fi, "i")
-        .join(fj, "j")
-        .where(d2 <= F.lit(r2))
-        .select("i", "j", "slide_i", "slide_j")
+    return matched.select(F.explode(both).alias("p")).select(
+        "p.i", "p.j", "p.slide_i", "p.slide_j"
     )
-    reverse = pairs.select(
-        F.col("j").alias("i"),
-        F.col("i").alias("j"),
-        F.col("slide_j").alias("slide_i"),
-        F.col("slide_i").alias("slide_j"),
-    )
-    return pairs.unionByName(reverse)
