@@ -132,29 +132,45 @@ def run_keyed_structured_stream(
     cfg: DetectorConfig,
     checkpoint_dir: str,
     query_name: str = "aads_keyed_stream",
+    output_dir: str | None = None,
 ) -> dict[str, dict]:
     """Drive a finite keyed JSON stream to completion (availableNow) and
     return {key: {outliers, n_only_inlier, n_only_outlier,
-    n_both_inlier_outlier}}. The memory sink is a test/driver convenience;
-    production would writeStream to a real sink — the stateful dataflow is
-    identical and fully distributed either way."""
+    n_both_inlier_outlier}}.
+
+    ``output_dir=None`` uses a memory sink (test/driver convenience; memory
+    sinks cannot recover a checkpoint). Pass a real ``output_dir`` for the
+    durable path: a JSON file sink that SUPPORTS checkpoint recovery — a
+    killed run restarted with the same checkpoint+output dirs restores the
+    per-key state-store detectors and source offsets, processes only unread
+    files, and appends each result row exactly once (tested in
+    tests/test_streaming.py::test_keyed_stream_resumes_from_checkpoint);
+    the returned dict then reflects ALL rows accumulated in the sink."""
     stream = (
         spark.readStream.schema(INPUT_SCHEMA)
         .option("maxFilesPerTrigger", 1)
         .json(input_dir)
     )
+    results = keyed_stream_results(stream, cfg)
+    if output_dir is None:
+        writer = results.writeStream.format("memory").queryName(query_name)
+    else:
+        writer = results.writeStream.format("json").option("path", output_dir)
     q = (
-        keyed_stream_results(stream, cfg)
-        .writeStream.format("memory")
-        .queryName(query_name)
-        .outputMode("append")
+        writer.outputMode("append")
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination()
+    if output_dir is None:
+        rows = spark.sql(f"select * from {query_name}").collect()
+    else:
+        rows = (
+            spark.read.schema(OUTPUT_SCHEMA).json(output_dir).collect()
+        )
     out: dict[str, dict] = {}
-    for r in spark.sql(f"select * from {query_name}").collect():
+    for r in rows:
         d = out.setdefault(
             r.key,
             {

@@ -110,3 +110,56 @@ def test_keyed_stream_matches_batch_per_key(spark, gauss2d, tmp_path):
         assert got[key]["outliers"] == exp["outliers"]
         for kk in ("n_only_inlier", "n_only_outlier", "n_both_inlier_outlier"):
             assert got[key][kk] == exp[kk]
+
+
+def test_keyed_stream_resumes_from_checkpoint(spark, gauss2d, tmp_path):
+    """Kill/resume: a first availableNow run drains only the files present;
+    a second run with the SAME checkpoint dir must restore the state-store
+    detectors and source offsets — processing only the new files, emitting
+    each outlier exactly once across the two runs, and finishing with the
+    batch-equal result. Double emission (= state lost / files replayed)
+    would break the merged equality."""
+    from approximate_anomaly_detection_in_data_streams_spark.streaming.keyed import (
+        run_keyed_structured_stream,
+    )
+
+    X = gauss2d[:800]
+    src = tmp_path / "resume_in"
+    src.mkdir()
+    starts = list(range(0, len(X), CFG.slide))
+
+    def write_file(seq, start):
+        with open(src / f"f_{seq:06d}.json", "w") as fh:
+            for i in range(start, min(start + CFG.slide, len(X))):
+                fh.write(
+                    json.dumps(
+                        {"key": "a", "id": i + 1, "features": [float(x) for x in X[i]]}
+                    )
+                    + "\n"
+                )
+
+    half = len(starts) // 2
+    for seq, start in enumerate(starts[:half]):
+        write_file(seq, start)
+    ck = str(tmp_path / "ck_resume")
+    out_dir = str(tmp_path / "resume_out")
+    run_keyed_structured_stream(
+        spark, str(src), CFG, ck, query_name="resume1", output_dir=out_dir
+    )
+
+    for seq, start in enumerate(starts[half:], start=half):
+        write_file(seq, start)
+    with open(src / "zz_sentinel.json", "w") as fh:
+        fh.write(json.dumps({"key": "a", "id": -len(X), "features": []}) + "\n")
+    # the file sink accumulates across restarts, so got2 holds ALL rows
+    got2 = run_keyed_structured_stream(
+        spark, str(src), CFG, ck, query_name="resume2", output_dir=out_dir
+    )
+
+    merged = got2["a"]["outliers"]
+    ids = np.arange(1, len(X) + 1)
+    exp = run_slide_loop(ids, X, CFG)
+    assert merged == exp["outliers"]
+    assert len(set(merged)) == len(merged)  # exactly-once across the restart
+    for kk in ("n_only_inlier", "n_only_outlier", "n_both_inlier_outlier"):
+        assert got2["a"][kk] == exp[kk]
