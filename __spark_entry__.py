@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from approximate_anomaly_detection_in_data_streams_spark.api import (
+    approx_mclshod_config,
     lshod_config,
     run_detector,
 )
@@ -73,6 +74,8 @@ def _event_points(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _det_cfg(algorithm: str = "mcod") -> DetectorConfig:
     if algorithm == "lshod":
         return lshod_config(DET_W, DET_S, DET_R, DET_K, dim=1)
+    if algorithm == "approx_mclshod":
+        return approx_mclshod_config(DET_W, DET_S, DET_R, DET_K, dim=1)
     return DetectorConfig(
         w=DET_W, slide=DET_S, r=DET_R, k=DET_K, algorithm=algorithm, dim=1
     )
@@ -98,6 +101,16 @@ def q_lshod_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-identical keys from the same literals — the approximate LSH
     detector is exactly oracle-checked end to end."""
     return run_detector(_event_points(spark, sf_dir), _det_cfg("lshod")).outliers
+
+
+def q_approx_mclshod_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's fourth algorithm, ApproxMCLSHOD: LSH candidates at
+    5 hashes / 10 tables / bucket width 3R/2 (/root/reference/src/
+    Executor.java:106-109) feeding the same classification pipeline.
+    Exactly oracle-checked like LSHOD (same float-literal key portability)."""
+    return run_detector(
+        _event_points(spark, sf_dir), _det_cfg("approx_mclshod")
+    ).outliers
 
 
 def q_approx_mcod_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -479,6 +492,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mcod_outliers": q_mcod_outliers,
         "mcod_stats": q_mcod_stats,
         "approx_mcod_outliers": q_approx_mcod_outliers,
+        "approx_mclshod_outliers": q_approx_mclshod_outliers,
         "lshod_outliers": q_lshod_outliers,
         "detector_recall": q_detector_recall,
         "col_stats_lineitem": q_col_stats_lineitem,
@@ -709,16 +723,17 @@ group by n.id order by n.id
 """
 
 
-def _lshod_outliers_sql() -> str:
-    """SQL twin of the LSHOD detector: identical bucket keys from the
-    same float-literal projections (bit-identical IEEE ops in both
-    engines), candidate equi-join per table with the co-window band,
-    exact distance filter, then the standard end-evaluation outlier CTE."""
+def _lshod_outliers_sql(algorithm: str = "lshod") -> str:
+    """SQL twin of the LSHOD / ApproxMCLSHOD detectors: identical bucket
+    keys from the same float-literal projections (bit-identical IEEE ops
+    in both engines), candidate equi-join per table with the co-window
+    band, exact distance filter, then the standard end-evaluation outlier
+    CTE."""
     from approximate_anomaly_detection_in_data_streams_spark.operators.lsh import (
         make_projections,
     )
 
-    cfg = _det_cfg("lshod")
+    cfg = _det_cfg(algorithm)
     A, b = make_projections(cfg, 1)
     w = float(cfg.lsh_bucket_width)
     key_selects = []
@@ -1083,6 +1098,7 @@ def oracle_sql() -> dict[str, str]:
         "mcod_outliers": _mcod_outliers_sql(),
         "mcod_stats": _mcod_stats_sql(),
         "approx_mcod_outliers": _approx_mcod_sql(),
+        "approx_mclshod_outliers": _lshod_outliers_sql("approx_mclshod"),
         "lshod_outliers": _lshod_outliers_sql(),
         "col_stats_lineitem": _col_stats_sql(),
         "null_profile_orders": """

@@ -35,6 +35,7 @@ HEADLINE = [
     "mcod_outliers",
     "mcod_stats",
     "approx_mcod_outliers",
+    "approx_mclshod_outliers",
     "lshod_outliers",
     "col_stats_lineitem",
     "uniqueness_orders",
@@ -48,6 +49,7 @@ HEADLINE = [
     "embedding_neardup",
     "knn_bruteforce",
     "srp_ann",
+    "ivf_ann",
     "lang_id_documents",
     "quality_documents",
     "token_counts_documents",
