@@ -83,15 +83,32 @@ def _det_cfg(algorithm: str = "mcod") -> DetectorConfig:
 
 # ---- detector queries (SURVEY.md §2.2-2.6: W1/P4/J1/A1-A6) ----
 
+# Per-(session, sf, algorithm) detection memo: outliers / stats /
+# detector_recall are projections of ONE detection run, and the driver
+# executes all queries in one session — without this each projection
+# recomputes the full counts pipeline. The per_point verdict table (tiny:
+# one row per point) is persisted; every projection reads it.
+_DETECTIONS: dict = {}
+
+
+def _detection(spark: SparkSession, sf_dir: str, algorithm: str = "mcod"):
+    key = (id(spark), sf_dir, algorithm)
+    res = _DETECTIONS.get(key)
+    if res is None:
+        res = run_detector(_event_points(spark, sf_dir), _det_cfg(algorithm))
+        res.per_point.persist()
+        _DETECTIONS[key] = res
+    return res
+
 
 def q_mcod_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pure-outlier violation set (A6) of the exact MCOD-semantics detector."""
-    return run_detector(_event_points(spark, sf_dir), _det_cfg()).outliers
+    return _detection(spark, sf_dir).outliers
 
 
 def q_mcod_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lifetime classification counters (A5; K2 stats sink shape)."""
-    return run_detector(_event_points(spark, sf_dir), _det_cfg()).stats
+    return _detection(spark, sf_dir).stats
 
 
 def q_lshod_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -100,7 +117,7 @@ def q_lshod_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     float literals (operators/lsh.py), so the SQL twin re-derives
     bit-identical keys from the same literals — the approximate LSH
     detector is exactly oracle-checked end to end."""
-    return run_detector(_event_points(spark, sf_dir), _det_cfg("lshod")).outliers
+    return _detection(spark, sf_dir, "lshod").outliers
 
 
 def q_approx_mclshod_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -108,9 +125,7 @@ def q_approx_mclshod_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     5 hashes / 10 tables / bucket width 3R/2 (/root/reference/src/
     Executor.java:106-109) feeding the same classification pipeline.
     Exactly oracle-checked like LSHOD (same float-literal key portability)."""
-    return run_detector(
-        _event_points(spark, sf_dir), _det_cfg("approx_mclshod")
-    ).outliers
+    return _detection(spark, sf_dir, "approx_mclshod").outliers
 
 
 def q_approx_mcod_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -142,9 +157,8 @@ def q_detector_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact outlier breaks the hash match. (n_test/precision are LSH-seed-
     dependent and stay out of the oracle row.)
     """
-    pts = _event_points(spark, sf_dir)
-    exact = run_detector(pts, _det_cfg()).outliers
-    approx = run_detector(pts, _det_cfg("lshod")).outliers
+    exact = _detection(spark, sf_dir).outliers
+    approx = _detection(spark, sf_dir, "lshod").outliers
     return recall_op(exact, approx).select("n_baseline", "n_common", "recall")
 
 

@@ -14,8 +14,11 @@ Scale notes (the 100 TB framing):
     the Jaccard filter (classic "similarity join via inverted index").
     Hot shingles (stop-shingles) are dropped via a document-frequency cap —
     the same skew discipline as the north_rule demands;
-  * minhash — signatures are one pass (xxhash64 per shingle, min per perm);
-    banding turns candidate generation into an equi-join on (band, hash);
+  * minhash — signatures are one map-only pass (packed-codepoint shingles,
+    seeded multiply-shift perms); banding turns candidate generation into
+    an equi-join on (band, hash) with 2-D block-splitting of giant buckets
+    and exact in-cluster verification against a broadcast text dictionary
+    (candidate pairs shuffle as bare int pairs, never with payloads);
   * simhash — 64-bit signature, near-dup iff hamming distance <= 3 via
     4-piece pigeonhole equi-join (each piece is an exact-match key);
   * embedding cosine — blockwise matmul inside applyInPandas for the
