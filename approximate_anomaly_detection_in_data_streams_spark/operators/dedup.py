@@ -387,7 +387,10 @@ def minhash_lsh_pairs(
     def _pack(t: str) -> np.ndarray:
         cp = np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32)
         if len(cp) < n:
-            cp = np.frombuffer((t + "\0" * n).encode("utf-32-le"), dtype=np.uint32)[:n]
+            # char_shingles (and the SQL oracle) give <n-char docs ZERO
+            # shingles — the signature kernel's padding is for candidate
+            # generation only, never for the verified jaccard
+            return np.empty(0, dtype=np.uint64)
         packed = np.zeros(len(cp) - n + 1, dtype=np.uint64)
         for j in range(n):
             packed = (packed << np.uint64(21)) | cp[j : len(cp) - n + 1 + j].astype(

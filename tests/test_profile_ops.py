@@ -307,3 +307,34 @@ def test_ivf_corpus_partitioning(spark, sf_dir):
     n = emb.count()
     assert sum(r["count"] for r in counts) == n
     assert all(0 <= r["cidx"] < 32 for r in counts)
+
+
+def test_minhash_equals_exact_on_edge_corpus(spark):
+    """MinHash banding + in-kernel verify must equal the exact inverted-
+    index Jaccard join on an adversarial corpus: sub-n-length docs (zero
+    shingles — excluded by both), unicode, exact duplicates, and a
+    near-identical template cluster large enough to exercise the bucket
+    block-split path."""
+    from approximate_anomaly_detection_in_data_streams_spark.operators import dedup
+
+    rows = [(1, "ab"), (2, "ab"), (3, "x"), (4, "")]  # < n chars: no shingles
+    rows += [(10 + i, f"café con leche numero {i} por favor") for i in range(5)]
+    # template cluster: 500 docs differing in one token
+    rows += [
+        (1000 + i, f"the quick brown fox jumps over the lazy dog variant {i:03d}")
+        for i in range(500)
+    ]
+    rows += [(2000, "zz completely unique document about turnips zz")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    exact = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in dedup.ngram_jaccard_pairs(df, "doc_id", "text", 3, 0.7).collect()
+    }
+    mh = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in dedup.minhash_lsh_pairs(
+            df, "doc_id", "text", 3, threshold=0.7, block_size=64
+        ).collect()
+    }
+    assert mh == exact
+    assert len(exact) > 1000  # the template cluster really is pairwise similar
