@@ -452,37 +452,54 @@ SIMHASH_BITS = 60  # 15 md5 hex chars -> portable to the DuckDB oracle
 def simhash_signatures(
     df: DataFrame, id_col: str, text_col: str, n: int = 3
 ) -> DataFrame:
-    """60-bit SimHash per document from char-shingle hashes (JVM-only).
+    """60-bit SimHash per document — MAP-ONLY (one mapInPandas scan).
 
-    Bit b of the signature is 1 iff more shingles hash with bit b set than
-    not. Computed as 60 conditional sums over the exploded shingle table —
-    one groupBy(id), map-side combinable.
-
-    The shingle hash is the first 15 hex chars of md5 parsed as an integer
-    — a *portable* hash both engines implement identically (Spark:
+    Bit b of the signature is 1 iff more of the document's distinct char
+    n-gram shingles hash with bit b set than not. The shingle hash is the
+    first 15 hex chars of md5 parsed as an integer — a *portable* hash
+    every engine implements identically (Python: hashlib.md5; Spark:
     conv(substr(md5, 1, 15), 16, 10); DuckDB: ('0x' || substr)::bigint),
     which is what lets the pigeonhole join carry an exact SQL oracle
     (xxhash64 seeds are Spark-private).
+
+    Previous formulation exploded 1.5M (id, shingle) rows through a
+    distinct and a 60-conditional-sum aggregation (two shuffles, ~8.7 s
+    at sf0.1); the per-doc kernel computes the identical signature in one
+    scan with zero shuffles — the shape that survives a 100 TB corpus.
     """
-    sh = char_shingles(df, id_col, text_col, n).select(
-        "id",
-        F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10)
-        .cast("long")
-        .alias("h"),
-    )
-    bit_sums = [
-        F.sum(
-            F.when(
-                F.shiftrightunsigned(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1
-            ).otherwise(-1)
-        ).alias(f"b{b}")
-        for b in range(SIMHASH_BITS)
-    ]
-    agg = sh.groupBy("id").agg(*bit_sums)
-    sig = F.lit(0).cast("long")
-    for b in range(SIMHASH_BITS):
-        sig = sig + F.when(F.col(f"b{b}") > 0, F.lit(1 << b)).otherwise(0)
-    return agg.select("id", sig.alias("simhash"))
+    import hashlib
+
+    def emit(batches):
+        bit_idx = np.arange(SIMHASH_BITS, dtype=np.uint64)
+        weights = (np.uint64(1) << bit_idx).astype(np.int64)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf["id"].to_numpy()
+            out = np.zeros(len(ids), dtype=np.int64)
+            # zero-shingle docs (len < n) have NO signature row — matching
+            # the exploded-aggregation semantics and the SQL oracle
+            has_sig = np.zeros(len(ids), dtype=bool)
+            for i, t in enumerate(pdf["text"]):
+                if not t or len(t) < n:
+                    continue
+                sh = {t[j : j + n] for j in range(len(t) - n + 1)}
+                hs = np.fromiter(
+                    (
+                        int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16)
+                        for s in sh
+                    ),
+                    dtype=np.int64,
+                )
+                bits = (hs[:, None].astype(np.uint64) >> bit_idx) & np.uint64(1)
+                s = 2 * bits.sum(axis=0).astype(np.int64) - len(hs)
+                out[i] = int(((s > 0) * weights).sum())
+                has_sig[i] = True
+            yield pd.DataFrame({"id": ids[has_sig], "simhash": out[has_sig]})
+
+    return df.select(
+        F.col(id_col).alias("id"), F.col(text_col).alias("text")
+    ).mapInPandas(emit, "id long, simhash long")
 
 
 def simhash_neardup_pairs(
