@@ -28,7 +28,7 @@ from pyspark.sql import DataFrame
 from .config import DetectorConfig
 from .operators.approx_mcod import approx_mcod_detect
 from .operators.detector import DetectionResult, detect
-from .operators.lsh import lsh_neighbor_pairs
+from .operators.lsh import lsh_neighbor_counts
 from .operators.windows import with_slide
 
 
@@ -36,15 +36,13 @@ def run_detector(points: DataFrame, cfg: DetectorConfig) -> DetectionResult:
     """Dispatch by cfg.algorithm; ``points``: (id, features)."""
     algo = cfg.algorithm.lower()
     if algo == "mcod":
-        pairs = None
-    elif algo in ("lshod", "approx_mclshod"):
+        return detect(points, cfg)
+    if algo in ("lshod", "approx_mclshod"):
         pts = with_slide(points, cfg)
-        pairs = lsh_neighbor_pairs(pts, cfg)
-    elif algo == "approx_mcod":
+        return detect(points, cfg, slide_counts=lsh_neighbor_counts(pts, cfg))
+    if algo == "approx_mcod":
         return approx_mcod_detect(points, cfg)
-    else:
-        raise ValueError(f"unknown algorithm: {cfg.algorithm}")
-    return detect(points, cfg, pairs=pairs)
+    raise ValueError(f"unknown algorithm: {cfg.algorithm}")
 
 
 def lshod_config(

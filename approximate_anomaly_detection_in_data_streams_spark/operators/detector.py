@@ -262,20 +262,26 @@ def batch_diagnostics(points: DataFrame, cfg: DetectorConfig) -> DataFrame:
 
 
 def detect(
-    points: DataFrame, cfg: DetectorConfig, pairs: DataFrame | None = None
+    points: DataFrame,
+    cfg: DetectorConfig,
+    pairs: DataFrame | None = None,
+    slide_counts: DataFrame | None = None,
 ) -> DetectionResult:
     """Run the full detector.
 
-    ``pairs`` may inject a raw neighbor-pair table (LSH / sampled
-    variants); the exact path skips pair materialization entirely and
-    aggregates slide-binned counts inside the block kernel. The verdict
-    aggregation uses the fused per-point path; ``evaluations`` stays
-    available (lazily) for diagnostics and property tests."""
+    ``slide_counts`` may inject a pre-binned count table directly (the
+    LSH variants' bucket kernel emits one — operators/lsh.py::
+    lsh_neighbor_counts); ``pairs`` may inject a raw neighbor-pair table.
+    The exact path skips pair materialization entirely and aggregates
+    slide-binned counts inside the block kernel. The verdict aggregation
+    uses the fused per-point path; ``evaluations`` stays available
+    (lazily) for diagnostics and property tests."""
     pts = with_slide(points, cfg)
     b_total = n_batches(points, cfg)
-    slide_counts = (
-        exact_neighbor_counts(pts, cfg) if pairs is None else pairs_to_counts(pairs)
-    )
+    if slide_counts is None:
+        slide_counts = (
+            exact_neighbor_counts(pts, cfg) if pairs is None else pairs_to_counts(pairs)
+        )
 
     evals = evaluations(pts, slide_counts, cfg, b_total)
     per_point = per_point_verdicts(pts, slide_counts, cfg, b_total)

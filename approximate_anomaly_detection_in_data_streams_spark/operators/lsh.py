@@ -43,6 +43,27 @@ def make_projections(
     return A, b
 
 
+def with_bucket_key_ints(
+    points: DataFrame, cfg: DetectorConfig, dim: int
+) -> DataFrame:
+    """Add ``hk ARRAY<BIGINT>`` — the L*m p-stable hash integers (table-major)
+    from the same seeded float-literal expressions as ``with_bucket_keys``.
+    The string key of table t is exactly the '_'-join of hk[t*m .. t*m+m-1],
+    so any consumer of the int matrix dedupes identically to the string join.
+    """
+    A, b = make_projections(cfg, dim)
+    width = float(cfg.lsh_bucket_width)
+    feats = F.col("features")
+    hs = []
+    for t in range(cfg.num_tables):
+        for j in range(cfg.num_hashes):
+            dot = feats[0].cast("double") * float(A[t, j, 0])
+            for d in range(1, dim):
+                dot = dot + feats[d].cast("double") * float(A[t, j, d])
+            hs.append(F.floor((dot + float(b[t, j])) / F.lit(width)))
+    return points.withColumn("hk", F.array(*hs))
+
+
 def with_bucket_keys(
     points: DataFrame, cfg: DetectorConfig, dim: int
 ) -> DataFrame:
@@ -219,4 +240,153 @@ def lsh_neighbor_pairs(
     )
     return matched.select(F.explode(both).alias("p")).select(
         "p.i", "p.j", "p.slide_i", "p.slide_j"
+    )
+
+
+def lsh_neighbor_counts(
+    points_with_slide: DataFrame,
+    cfg: DetectorConfig,
+    bucket_cap: int | None = None,
+) -> DataFrame:
+    """Slide-binned neighbor counts from LSH candidates — the detector's
+    scalable input, computed per (table, key, block) bucket in a NumPy
+    kernel instead of materializing the candidate pair table.
+
+    Semantically identical to ``pairs_to_counts(lsh_neighbor_pairs(...))``
+    (property- and oracle-tested): same bucket collisions, same min-table
+    cross-table dedupe (exact integer-key comparison over the carried L x m
+    hash matrix), same exact distance filter, same per-owner/per-direction
+    counting. The difference is the dataflow: the bucket equi-join's
+    candidate multiset (~455M rows at sf0.1) never becomes JVM join rows —
+    each (t, key, g) group's members land in one Arrow batch and the kernel
+    emits O(members x window-span) count bins, the same ~100x shuffle
+    reduction the exact detector's block kernel uses
+    (operators/pairs.py::_counts_emit). Output: (i, slide_i, slide_j, c,
+    c_arr), pre-aggregated per bucket and summed by one map-side-combinable
+    aggregation.
+    """
+    import pandas as pd
+
+    from pyspark.sql.window import Window
+
+    dim = cfg.dim if cfg.dim > 0 else len(
+        points_with_slide.select("features").first()[0]
+    )
+    L, m = cfg.num_tables, cfg.num_hashes
+    max_gap = cfg.ws - 1
+    n_bins = 2 * max_gap + 1
+    r2 = float(cfg.r) ** 2
+
+    base = with_bucket_key_ints(points_with_slide, cfg, dim)
+    key_t = [
+        F.concat_ws(
+            "_", *[F.col("hk")[t * m + j].cast("string") for j in range(m)]
+        )
+        for t in range(L)
+    ]
+    keyed = base.select(
+        "id",
+        "slide",
+        "features",
+        "hk",
+        F.posexplode(F.array(*key_t)).alias("t", "key"),
+        (((F.col("slide") - 1) / F.lit(cfg.ws)).cast("long")).alias("g"),
+    )
+    if bucket_cap is not None:
+        w = Window.partitionBy("t", "key", "g").orderBy(
+            F.xxhash64("id", F.lit(cfg.seed))
+        )
+        keyed = (
+            keyed.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") <= bucket_cap)
+            .drop("_rn")
+        )
+    # home row in its own block; guest row fanned to the previous block —
+    # cross-block pairs are counted in the lower block's group exactly once
+    fanned = keyed.withColumn("home", F.lit(True)).unionByName(
+        keyed.withColumn("g", F.col("g") - 1)
+        .withColumn("home", F.lit(False))
+        .where(F.col("g") >= 0)
+    )
+
+    def emit(batches):
+        chunks = [c for c in batches if len(c)]
+        if not chunks:
+            return
+        pdf = pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else chunks[0]
+        t_arr = pdf["t"].to_numpy()
+        key_arr = pdf["key"].to_numpy()
+        g_arr = pdf["g"].to_numpy()
+        order = np.lexsort((g_arr, key_arr, t_arr))
+        t_arr, key_arr, g_arr = t_arr[order], key_arr[order], g_arr[order]
+        ids_all = pdf["id"].to_numpy()[order]
+        slides_all = pdf["slide"].to_numpy()[order]
+        home_all = pdf["home"].to_numpy()[order]
+        feats_all = pdf["features"].to_numpy()[order]
+        hk_all = pdf["hk"].to_numpy()[order]
+        changed = (
+            (t_arr[1:] != t_arr[:-1])
+            | (key_arr[1:] != key_arr[:-1])
+            | (g_arr[1:] != g_arr[:-1])
+        )
+        bounds = np.flatnonzero(np.concatenate(([True], changed)))
+        bounds = np.append(bounds, len(t_arr))
+        out: list[pd.DataFrame] = []
+        for b0, b1 in zip(bounds[:-1], bounds[1:]):
+            n = b1 - b0
+            if n < 2:
+                continue
+            t = int(t_arr[b0])
+            ids = ids_all[b0:b1]
+            slides = slides_all[b0:b1]
+            home = home_all[b0:b1]
+            X = np.stack(feats_all[b0:b1]).astype(np.float64)
+            sq = np.einsum("ij,ij->i", X, X)
+            M = sq[:, None] + sq[None, :] - 2.0 * (X @ X.T) <= r2
+            off = slides[None, :] - slides[:, None] + max_gap
+            M &= (off >= 0) & (off < n_bins)
+            M &= home[:, None] | home[None, :]
+            M[np.arange(n), np.arange(n)] = False
+            if t > 0:
+                K = np.stack(hk_all[b0:b1]).reshape(n, L, m)
+                dup = np.zeros((n, n), dtype=bool)
+                for tp in range(t):
+                    eq = np.ones((n, n), dtype=bool)
+                    for r in range(m):
+                        col = K[:, tp, r]
+                        eq &= col[:, None] == col[None, :]
+                    dup |= eq
+                M &= ~dup
+            arr_M = M & (ids[None, :] < ids[:, None])
+            c = np.zeros((n, n_bins), dtype=np.int64)
+            c_arr = np.zeros((n, n_bins), dtype=np.int64)
+            for b in range(n_bins):
+                sel = off == b
+                c[:, b] = (M & sel).sum(axis=1)
+                c_arr[:, b] = (arr_M & sel).sum(axis=1)
+            ri, bi = np.nonzero(c)
+            out.append(
+                pd.DataFrame(
+                    {
+                        "i": ids[ri],
+                        "slide_i": slides[ri],
+                        "slide_j": slides[ri] + (bi - max_gap),
+                        "c": c[ri, bi],
+                        "c_arr": c_arr[ri, bi],
+                    }
+                )
+            )
+        if out:
+            yield pd.concat(out, ignore_index=True)
+
+    sp = int(
+        points_with_slide.sparkSession.conf.get("spark.sql.shuffle.partitions", "64")
+    )
+    binned = (
+        fanned.repartition(sp, "t", "key", "g")
+        .sortWithinPartitions("t", "key", "g")
+        .mapInPandas(emit, "i long, slide_i long, slide_j long, c long, c_arr long")
+    )
+    return binned.groupBy("i", "slide_i", "slide_j").agg(
+        F.sum("c").alias("c"), F.sum("c_arr").alias("c_arr")
     )
