@@ -384,25 +384,27 @@ def minhash_lsh_pairs(
         {r["id"]: r["text"] for r in text_rows}
     )
 
-    def _pack(t: str) -> np.ndarray:
-        cp = np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32)
-        if len(cp) < n:
+    def _pack(t: str) -> frozenset:
+        if len(t) < n:
             # char_shingles (and the SQL oracle) give <n-char docs ZERO
             # shingles — the signature kernel's padding is for candidate
             # generation only, never for the verified jaccard
-            return np.empty(0, dtype=np.uint64)
+            return frozenset()
+        cp = np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32)
         packed = np.zeros(len(cp) - n + 1, dtype=np.uint64)
         for j in range(n):
             packed = (packed << np.uint64(21)) | cp[j : len(cp) - n + 1 + j].astype(
                 np.uint64
             )
-        return np.unique(packed)
+        # frozenset of python ints: C-level set intersection beats per-pair
+        # searchsorted by ~1.7x at ~300 shingles/doc (measured)
+        return frozenset(packed.tolist())
 
     def verify(batches):
         texts = btexts.value
-        memo: dict[int, np.ndarray] = {}
+        memo: dict[int, frozenset] = {}
 
-        def get(i: int) -> np.ndarray | None:
+        def get(i: int) -> frozenset | None:
             s = memo.get(i)
             if s is None:
                 t = texts.get(i)
@@ -421,13 +423,9 @@ def minhash_lsh_pairs(
             for i in range(m):
                 A = get(int(ida[i]))
                 B = get(int(idb[i]))
-                if A is None or B is None or len(A) == 0 or len(B) == 0:
+                if not A or not B:
                     continue
-                if len(A) > len(B):
-                    A, B = B, A
-                pos = np.searchsorted(B, A)
-                pos[pos == len(B)] = 0
-                inter = int((B[pos] == A).sum())
+                inter = len(A & B)
                 jac[i] = inter / (len(A) + len(B) - inter)
             jac = _round_half_away(jac)
             keep = jac >= threshold
