@@ -493,6 +493,43 @@ def q_image_drift_slides(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _image_report(spark).drift_slides
 
 
+MEDIA_N = 500
+
+
+def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio modality: map-only feature extraction over a deterministic
+    synthetic PCM table (opaque binary column; rows-only — DuckDB has no
+    PCM decoder). Features rounded for a stable value hash."""
+    from approximate_anomaly_detection_in_data_streams_spark.operators import media
+
+    feats = media.audio_features(media.generate_audio(spark, MEDIA_N, seed=11))
+    return feats.select(
+        "audio_id",
+        "decode_ok",
+        F.round("duration_s", 6).alias("duration_s"),
+        F.round("rms", 6).alias("rms"),
+        F.round("zero_crossing_rate", 6).alias("zero_crossing_rate"),
+        F.round("peak", 6).alias("peak"),
+    ).orderBy("audio_id")
+
+
+def q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video modality: frame sampling (every 2nd frame, random access into
+    the container) with a deterministic per-frame fingerprint — sampled
+    frames re-encode in the validator's raw image container, composing
+    with the whole image pipeline. Rows-only (no DuckDB video codec)."""
+    from approximate_anomaly_detection_in_data_streams_spark.operators import media
+
+    frames = media.sample_frames(media.generate_video(spark, MEDIA_N, seed=11), 2)
+    return frames.select(
+        "video_id",
+        "frame_idx",
+        "w",
+        "h",
+        F.xxhash64("frame_bytes").alias("frame_fp"),
+    ).orderBy("video_id", "frame_idx")
+
+
 # ---- driver surface ----
 
 
@@ -536,6 +573,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_partition_verdicts": q_image_partition_verdicts,
         "image_violations": q_image_violations,
         "image_drift_slides": q_image_drift_slides,
+        "audio_features": q_audio_features,
+        "video_frames": q_video_frames,
     }
 
 
