@@ -50,6 +50,8 @@ HEADLINE = [
     "knn_bruteforce",
     "srp_ann",
     "ivf_ann",
+    "audio_features",
+    "video_frames",
     "lang_id_documents",
     "quality_documents",
     "token_counts_documents",
