@@ -171,20 +171,41 @@ def exact_neighbor_counts(
         .where(F.col("g") >= 0)
     )
 
-    def emit(pdf: pd.DataFrame) -> pd.DataFrame:
-        if len(pdf) < 2:
-            return _counts_emit(
-                np.empty((0, 1)), np.empty(0, dtype=np.int64),
-                np.empty(0, dtype=np.int64), np.empty(0, dtype=bool), r2, max_gap,
+    # partition-scan (mapInPandas over repartition+sort), not per-group
+    # applyInPandas: a long stream has thousands of W-sized blocks and the
+    # per-group Arrow round-trip overhead dominates the (small) per-block
+    # math — one batch per partition amortizes it (same pattern as the
+    # LSH counts kernel and the MinHash band kernel)
+    def emit(batches):
+        chunks = [c for c in batches if len(c)]
+        if not chunks:
+            return
+        pdf = pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else chunks[0]
+        g_arr = pdf["g"].to_numpy()
+        id_arr = pdf["id"].to_numpy()
+        order = np.lexsort((id_arr, g_arr))
+        g_arr, id_arr = g_arr[order], id_arr[order]
+        slides_all = pdf["slide"].to_numpy()[order]
+        home_all = pdf["is_home"].to_numpy()[order]
+        feats_all = pdf["features"].to_numpy()[order]
+        bounds = np.flatnonzero(np.concatenate(([True], g_arr[1:] != g_arr[:-1])))
+        bounds = np.append(bounds, len(g_arr))
+        for b0, b1 in zip(bounds[:-1], bounds[1:]):
+            if b1 - b0 < 2:
+                continue
+            X = np.stack(feats_all[b0:b1]).astype(np.float64)
+            yield _counts_emit(
+                X, id_arr[b0:b1], slides_all[b0:b1], home_all[b0:b1], r2, max_gap
             )
-        order = np.argsort(pdf["id"].to_numpy())
-        ids = pdf["id"].to_numpy()[order]
-        slides = pdf["slide"].to_numpy()[order]
-        home = pdf["is_home"].to_numpy()[order]
-        X = np.stack(pdf["features"].to_numpy()[order]).astype(np.float64)
-        return _counts_emit(X, ids, slides, home, r2, max_gap)
 
-    return fanned.groupBy("g").applyInPandas(emit, COUNT_SCHEMA)
+    sp = int(
+        points_with_slide.sparkSession.conf.get("spark.sql.shuffle.partitions", "64")
+    )
+    return (
+        fanned.repartition(sp, "g")
+        .sortWithinPartitions("g", "id")
+        .mapInPandas(emit, COUNT_SCHEMA)
+    )
 
 
 def pairs_to_counts(pairs: DataFrame) -> DataFrame:

@@ -113,8 +113,18 @@ def main() -> None:
     spark = get_spark(app_name="aads-bench", cores=CPUS)
     qs = entrymod.queries()
 
-    # Warm the JVM/parquet footers once so per-query times measure compute.
+    # Warm the JVM/parquet footers AND the Python workers once so per-query
+    # times measure compute, not interpreter/worker spin-up (long-lived on
+    # a real cluster; same protocol as scripts/bench_scaling.py).
     spark.read.parquet(f"{SF_DIR}/events.parquet").count()
+
+    def _warm(it):
+        import numpy  # noqa: F401
+        import pandas  # noqa: F401
+
+        yield from it
+
+    spark.range(0, CPUS * 8, 1, CPUS * 8).mapInPandas(_warm, "id long").count()
 
     times: dict[str, float] = {}
     for name in HEADLINE:
