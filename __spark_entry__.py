@@ -285,6 +285,23 @@ def q_percentiles_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+DRIFT_SLIDE, DRIFT_BINS, DRIFT_L1 = 5000, 16, 0.25
+
+
+def q_value_drift_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata distribution-drift check over the events stream: per-slide
+    value-histogram L1 distance vs the global histogram (the no-decode
+    drift stage of the validator; exact arithmetic, exact SQL twin)."""
+    return profile_ops.value_drift_slides(
+        _load(spark, sf_dir, "events"),
+        "event_id",
+        "value",
+        DRIFT_SLIDE,
+        DRIFT_BINS,
+        DRIFT_L1,
+    )
+
+
 SESSION_GAP_S = 1800
 
 
@@ -556,6 +573,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pricing_summary": q_pricing_summary,
         "window_hourly_events": q_window_hourly_events,
         "percentiles_lineitem": q_percentiles_lineitem,
+        "value_drift_events": q_value_drift_events,
         "sessionize_events": q_sessionize_events,
         "exact_dups_documents": q_exact_dups_documents,
         "jaccard_pairs_documents": q_jaccard_pairs_documents,
@@ -1200,6 +1218,33 @@ order by l_returnflag, l_linestatus
 select strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') as hour_start,
   event_type, count(*) as n, round(sum(value), 4) as sum_value
 from events group by 1, 2 order by hour_start, event_type
+""",
+        "value_drift_events": f"""
+with rng as (
+  select min(cast(value as double)) as mn, max(cast(value as double)) as mx
+  from events
+), binned as (
+  select cast(event_id // {DRIFT_SLIDE} as bigint) as slide,
+    cast(least(floor((cast(value as double) - mn) / (mx - mn) * {DRIFT_BINS}),
+               {DRIFT_BINS - 1}) as bigint) as bin
+  from events, rng
+), slide_hist as (
+  select slide, bin, count(*) as c from binned group by 1, 2
+), slide_tot as (
+  select slide, sum(c) as n_rows from slide_hist group by 1
+), global_hist as (
+  select bin, count(*) * 1.0 / (select count(*) from binned) as gfrac
+  from binned group by 1
+), l1 as (
+  select st.slide, st.n_rows,
+    round(sum(abs(coalesce(sh.c, 0) * 1.0 / st.n_rows - gh.gfrac)), 6) as l1
+  from slide_tot st
+  cross join global_hist gh
+  left join slide_hist sh on sh.slide = st.slide and sh.bin = gh.bin
+  group by 1, 2
+)
+select slide, cast(n_rows as bigint) as n_rows, l1, l1 > {DRIFT_L1} as drifted
+from l1 order by slide
 """,
         "percentiles_lineitem": """
 select l_returnflag,

@@ -183,3 +183,76 @@ def null_profile(df: DataFrame, cols: list[str]) -> DataFrame:
             f"{c}_null_rate", F.col(f"{c}_nulls") / F.col("n_rows")
         )
     return out
+
+
+def value_drift_slides(
+    df: DataFrame,
+    ord_col: str,
+    value_col: str,
+    slide_size: int,
+    n_bins: int = 16,
+    l1_limit: float = 0.25,
+) -> DataFrame:
+    """Metadata distribution-drift check, no decoding required: per slide of
+    ``slide_size`` consecutive ordinals, the L1 distance between the
+    slide's value histogram (``n_bins`` equal-width bins over the global
+    range) and the global histogram, flagged when it exceeds ``l1_limit``.
+
+    The drift counterpart of the windowed point-anomaly detector
+    (north_star: distribution drift on metadata/feature columns): a
+    sustained shift moves the whole slide's histogram — its points stay
+    mutually close, so a distance-based detector correctly does NOT fire;
+    this check does. Dataflow: one global min/max aggregate broadcast back
+    (cross join with a 1-row table), one groupBy(slide, bin) count, one
+    broadcast join of the (tiny) global histogram — all map-side
+    combinable, exact arithmetic, so it carries an exact SQL oracle.
+    Output: (slide, n_rows, l1, drifted) ordered by slide.
+    """
+    rng = df.agg(
+        F.min(F.col(value_col).cast("double")).alias("mn"),
+        F.max(F.col(value_col).cast("double")).alias("mx"),
+    )
+    binned = df.crossJoin(F.broadcast(rng)).select(
+        (F.col(ord_col) / F.lit(slide_size)).cast("long").alias("slide"),
+        F.least(
+            F.floor(
+                (F.col(value_col).cast("double") - F.col("mn"))
+                / (F.col("mx") - F.col("mn"))
+                * F.lit(n_bins)
+            ),
+            F.lit(n_bins - 1),
+        ).cast("long").alias("bin"),
+    )
+    from pyspark.sql.window import Window
+
+    slide_hist = binned.groupBy("slide", "bin").agg(F.count(F.lit(1)).alias("c"))
+    slide_tot = slide_hist.groupBy("slide").agg(F.sum("c").alias("n_rows"))
+    # global fraction per bin: a window total over the (tiny, n_bins-row)
+    # histogram keeps the plan fully lazy — no driver-side count at build
+    global_hist = (
+        binned.groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("gc"))
+        .withColumn(
+            "gfrac",
+            F.col("gc") / F.sum("gc").over(Window.partitionBy(F.lit(1))),
+        )
+    )
+    # every (slide, bin) pair including zero-count bins: the L1 term for a
+    # bin absent from a slide is the global fraction itself
+    l1 = (
+        slide_tot.crossJoin(F.broadcast(global_hist))
+        .join(slide_hist, ["slide", "bin"], "left")
+        .select(
+            "slide",
+            "n_rows",
+            F.abs(
+                F.coalesce(F.col("c"), F.lit(0)) / F.col("n_rows")
+                - F.col("gfrac")
+            ).alias("term"),
+        )
+        .groupBy("slide", "n_rows")
+        .agg(F.round(F.sum("term"), 6).alias("l1"))
+    )
+    return l1.select(
+        "slide", "n_rows", "l1", (F.col("l1") > F.lit(l1_limit)).alias("drifted")
+    ).orderBy("slide")

@@ -44,6 +44,7 @@ HEADLINE = [
     "join_segment_revenue",
     "pricing_summary",
     "window_hourly_events",
+    "value_drift_events",
     "minhash_pairs_documents",
     "simhash_pairs_documents",
     "embedding_neardup",
