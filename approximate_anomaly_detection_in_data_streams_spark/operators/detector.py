@@ -159,54 +159,84 @@ def per_point_verdicts(
     """Fused per-point (ever_inlier, ever_outlier) — the scale path.
 
     Equivalent to aggregating ``evaluations`` (property-tested for
-    equality) but with a much shallower DAG: instead of materializing
-    every (id, batch, kind) evaluation row and unioning three kinds, it
-    derives the lifetime verdict from per-(id, batch) counts plus window
-    arithmetic:
+    equality) but with the shallowest possible DAG: ONE groupBy(id) over
+    the slide-binned count table, then window arithmetic inside a JVM
+    higher-order expression over each point's <= 2*ws-1 count bins.
 
-      * a point has n_b = min(B, slide+ws-1) - slide + 1 ``end``
-        evaluations; batches with no count row have cnt 0, so
-        "ever outlier at an end eval" = any present row with cnt_end < k
-        OR fewer present rows than n_b;
-      * ``pre`` evaluations are the same minus the arrival batch
-        (n_b - 1 of them, cnt_pre);
-      * the ``arrival`` evaluation count is sum(c_arr).
+    Derivation (si = slide(i), A[sj] = neighbor count in slide sj):
+
+      * end count at batch b = si+t is the sliding-window sum
+        sum(A[sj] for b-ws+1 <= sj <= b) — bins absent from the table
+        contribute 0, so no present-row bookkeeping is needed;
+      * pre count at b (b > si) = end(b) - A[b] (the batch-b arrivals are
+        exactly what ingestion adds between the two moments);
+      * arrival count = sum(c_arr).
 
     Counts only grow between pre and end of a batch, so these three cover
-    the full status trajectory (module docstring).
+    the full status trajectory (module docstring). The per-id evaluation
+    loop is a transform/aggregate over a tiny array (<= 2*ws-1 structs x
+    <= ws batches) — whole-stage codegen, no explode, no extra shuffle.
     """
     ws, k = cfg.ws, cfg.k
-    counts_b = batch_counts(slide_counts, cfg, b_total)
-    arr = arrival_counts(slide_counts)
-    per_id = counts_b.groupBy("id").agg(
-        F.max(F.col("cnt_end") >= k).alias("any_end_inlier"),
-        F.min("cnt_end").alias("min_end"),
-        F.count(F.lit(1)).alias("n_present"),
-        F.sum(F.when(F.col("b") > slide_of(F.col("id"), cfg.slide), 1).otherwise(0)).alias(
-            "n_pre_present"
-        ),
-        F.min(F.when(F.col("b") > slide_of(F.col("id"), cfg.slide), F.col("cnt_pre"))).alias(
-            "min_pre"
-        ),
+    grouped = slide_counts.groupBy("i", "slide_i", "slide_j").agg(
+        F.sum("c").alias("c"), F.sum("c_arr").alias("ca")
+    )
+    per_id = grouped.groupBy(F.col("i").alias("id")).agg(
+        F.first("slide_i").alias("slide"),
+        F.collect_list(
+            F.struct((F.col("slide_j") - F.col("slide_i")).alias("off"), F.col("c"))
+        ).alias("bins"),
+        F.sum("ca").alias("cnt_arrival"),
     )
     base = points_with_slide.select("id", "slide")
-    n_b = F.least(F.lit(b_total), F.col("slide") + F.lit(ws - 1)) - F.col("slide") + 1
-    joined = (
-        base.join(per_id, "id", "left")
-        .join(arr, "id", "left")
-        .select(
-            "id",
-            F.coalesce("any_end_inlier", F.lit(False)).alias("ever_inlier"),
-            (
-                (F.coalesce("n_present", F.lit(0)) < n_b)
-                | (F.coalesce("min_end", F.lit(0)) < k)
-                | (F.coalesce("n_pre_present", F.lit(0)) < (n_b - 1))
-                | (F.coalesce("min_pre", F.lit(k)) < k)
-                | (F.coalesce("cnt_arrival", F.lit(0)) < k)
-            ).alias("ever_outlier"),
-        )
+    joined = base.join(per_id.drop("slide"), "id", "left")
+    n_b = (
+        F.least(F.lit(b_total), F.col("slide") + F.lit(ws - 1))
+        - F.col("slide")
+        + 1
+    ).cast("int")
+    bins = F.coalesce("bins", F.array())
+    # end_t for t in 0..n_b-1: window sum over offsets [t-ws+1, t]
+    end_counts = F.transform(
+        F.sequence(F.lit(0), n_b - 1),
+        lambda t: F.aggregate(
+            bins,
+            F.lit(0).cast("long"),
+            lambda acc, r: acc
+            + F.when(
+                (r["off"] >= t - F.lit(ws - 1)) & (r["off"] <= t), r["c"]
+            ).otherwise(F.lit(0).cast("long")),
+        ),
     )
-    return joined
+    ever_inlier = F.exists(end_counts, lambda c: c >= k)
+    ever_out_end = F.exists(end_counts, lambda c: c < k)
+    # pre evaluations exist for batches t >= 1 only: window sum over
+    # offsets [t-ws+1, t-1] (batch-t arrivals excluded). CaseWhen guards
+    # the n_b == 1 case (sequence(1, 0) would run descending).
+    pre_counts = F.transform(
+        F.sequence(F.lit(1), n_b - 1),
+        lambda t: F.aggregate(
+            bins,
+            F.lit(0).cast("long"),
+            lambda acc, r: acc
+            + F.when(
+                (r["off"] >= t - F.lit(ws - 1)) & (r["off"] <= t - 1), r["c"]
+            ).otherwise(F.lit(0).cast("long")),
+        ),
+    )
+    ever_out_pre = F.when(
+        n_b > 1, F.exists(pre_counts, lambda p: p < k)
+    ).otherwise(F.lit(False))
+    ever_outlier = (
+        ever_out_end
+        | ever_out_pre
+        | (F.coalesce("cnt_arrival", F.lit(0)) < k)
+    )
+    return joined.select(
+        "id",
+        F.coalesce(ever_inlier, F.lit(False)).alias("ever_inlier"),
+        ever_outlier.alias("ever_outlier"),
+    )
 
 
 def batch_diagnostics(points: DataFrame, cfg: DetectorConfig) -> DataFrame:
