@@ -50,7 +50,7 @@ from pyspark.sql import functions as F
 
 from ..config import DetectorConfig
 from .pairs import exact_neighbor_counts, pairs_to_counts
-from .windows import n_batches, point_batches, slide_of, with_slide
+from .windows import n_batches, point_batches, with_slide
 
 
 @dataclass

@@ -28,6 +28,9 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 BENCH_DIR = os.environ.get("AADS_BENCH_DIR", "/tmp/aads_bench")
 IMG_N = int(os.environ.get("AADS_BENCH_IMG_N", "100000"))
+# best-of-N per query: the shared host swings same-code walls 1.3-4.5x
+# between phases (BENCH.md); min-of-2 measures the engine, not the noise
+REPS = int(os.environ.get("AADS_BENCH_REPS", "2"))
 
 # Headline set: detector core (exact + LSH), validator profile, dedup,
 # similarity search, text analysis. Names match __spark_entry__.queries().
@@ -129,9 +132,19 @@ def main() -> None:
 
     times: dict[str, float] = {}
     for name in HEADLINE:
-        t0 = time.perf_counter()
-        qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
-        times[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        pre_keys = set(entrymod._DETECTIONS)
+        for rep in range(max(REPS, 1)):
+            if rep:
+                # drop detection-memo entries THIS query created so every
+                # rep measures genuine compute; cross-query reuse (e.g.
+                # mcod_stats reading mcod_outliers' verdict table) stays
+                for k in set(entrymod._DETECTIONS) - pre_keys:
+                    entrymod._DETECTIONS.pop(k).per_point.unpersist()
+            t0 = time.perf_counter()
+            qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        times[name] = round(best, 3)
 
     total = round(sum(times.values()), 3)
     n_events = spark.read.parquet(f"{SF_DIR}/events.parquet").count()
