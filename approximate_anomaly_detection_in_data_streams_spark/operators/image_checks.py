@@ -25,7 +25,8 @@ from ..functions import image_codec as codec
 PSNR_MIN_DB = 40.0
 
 CHECK_SCHEMA = (
-    "image_id string, fmt string, decode_ok boolean, dims_ok boolean, "
+    "image_id string, fmt string, w int, h int, n_bytes long, "
+    "decode_ok boolean, dims_ok boolean, "
     "phash_ok boolean, pixels_ok boolean, caption_ok boolean, "
     "psnr double, is_violation boolean, reason string"
 )
@@ -38,6 +39,7 @@ COMBINED_SCHEMA = CHECK_SCHEMA + ", ordinal long, features array<double>"
 
 DIGEST_SCHEMA = (
     "image_id string, fmt string, caption string, ordinal long, "
+    "w int, h int, n_bytes long, "
     "decode_ok boolean, dims_ok boolean, phash_ok boolean, phash_dec long, "
     "decode_reason string, features array<double>"
 )
@@ -151,6 +153,9 @@ def decode_digests(images: DataFrame, ordinal_col: str | None = None) -> DataFra
             ("fmt", pa.string()),
             ("caption", pa.string()),
             ("ordinal", pa.int64()),
+            ("w", pa.int32()),
+            ("h", pa.int32()),
+            ("n_bytes", pa.int64()),
             ("decode_ok", pa.bool_()),
             ("dims_ok", pa.bool_()),
             ("phash_ok", pa.bool_()),
@@ -361,6 +366,13 @@ def decode_digests(images: DataFrame, ordinal_col: str | None = None) -> DataFra
                     cols["fmt"],
                     cols["caption"],
                     cols["ordinal"],
+                    cols["w"],
+                    cols["h"],
+                    # byte lengths fall out of the offsets already in hand —
+                    # carrying them lets the validator's size stats aggregate
+                    # the (persisted, narrow) digest rows instead of
+                    # re-scanning the full bytes column
+                    pa.array(lengths),
                     pa.array(decode_ok),
                     pa.array(dims_ok),
                     pa.array(phash_ok),
@@ -379,12 +391,26 @@ def psnr_verify(images: DataFrame, reference: DataFrame, ids: DataFrame) -> Data
     reference: joins the actual bytes for ONLY those ids (semi-join prunes
     the scan) and computes exact PSNR / equality. At 10^12 rows this
     touches the tiny disagreement set, not the table.
+
+    Output is UNIQUE per image_id: the reference side is deduped to the
+    same truth row ``row_checks_and_features`` elects (min by
+    (ref_phash, ref_caption)), and when several claimant rows share one
+    image_id (an id-uniqueness violation in its own right) the verdict is
+    the worst case across claimants (min psnr, AND of equality) — so the
+    join back to the digest rows never fans out and per-partition counts
+    stay exact.
     """
     subset = images.join(F.broadcast(ids), "image_id", "left_semi").select(
         "image_id", "bytes"
     )
-    ref = reference.join(F.broadcast(ids), "image_id", "left_semi").select(
-        "image_id", "ref_bytes"
+    ref = (
+        reference.join(F.broadcast(ids), "image_id", "left_semi")
+        .groupBy("image_id")
+        .agg(
+            F.min_by(
+                "ref_bytes", F.struct("ref_phash", "ref_caption")
+            ).alias("ref_bytes")
+        )
     )
     joined = subset.join(ref, "image_id", "left")
 
@@ -406,7 +432,14 @@ def psnr_verify(images: DataFrame, reference: DataFrame, ids: DataFrame) -> Data
                 rows.append({"image_id": row.image_id, "psnr": p, "pixels_equal": eq})
             yield pd.DataFrame(rows)
 
-    return joined.mapInPandas(run, PSNR_SCHEMA)
+    return (
+        joined.mapInPandas(run, PSNR_SCHEMA)
+        .groupBy("image_id")
+        .agg(
+            F.min("psnr").alias("psnr"),
+            F.bool_and("pixels_equal").alias("pixels_equal"),
+        )
+    )
 
 
 def row_checks_and_features(
@@ -442,6 +475,9 @@ def row_checks_and_features(
         return digests.select(
             "image_id",
             "fmt",
+            "w",
+            "h",
+            "n_bytes",
             "decode_ok",
             "dims_ok",
             "phash_ok",
@@ -456,10 +492,20 @@ def row_checks_and_features(
             "features",
         )
 
-    ref_digest = reference.select(
-        "image_id",
-        F.col("ref_caption").alias("_ref_caption"),
-        F.col("ref_phash").alias("_ref_phash"),
+    # One truth row per image_id, elected deterministically (min by
+    # (ref_phash, ref_caption)): a reference snapshot carrying duplicate
+    # image_ids would otherwise fan this join out and inflate every
+    # downstream count. Column pruning keeps ref_bytes out of this
+    # narrow-row aggregation; psnr_verify elects the SAME row for its
+    # exact pass.
+    ref_digest = (
+        reference.groupBy("image_id")
+        .agg(F.min(F.struct("ref_phash", "ref_caption")).alias("_t"))
+        .select(
+            "image_id",
+            F.col("_t.ref_caption").alias("_ref_caption"),
+            F.col("_t.ref_phash").alias("_ref_phash"),
+        )
     )
     base = (
         digests.join(ref_digest, "image_id", "left")
@@ -506,6 +552,9 @@ def row_checks_and_features(
     return out.select(
         "image_id",
         "fmt",
+        "w",
+        "h",
+        "n_bytes",
         "decode_ok",
         "dims_ok",
         "phash_ok",

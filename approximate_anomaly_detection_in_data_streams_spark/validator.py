@@ -119,11 +119,6 @@ def validate_images(
 
     schema_ok, schema_errors = check_schema(images)
 
-    stats = profile_ops.column_stats(
-        images.withColumn("n_bytes", F.length("bytes").cast("long")),
-        [part],
-        ["w", "h", "n_bytes"],
-    )
     uniq = profile_ops.uniqueness(images, ["image_id"], exact=cfg.exact_uniqueness)
     phash_dups = (
         images.groupBy("phash")
@@ -140,6 +135,11 @@ def validate_images(
 
         combined = combined.persist(StorageLevel.MEMORY_AND_DISK)
     checks = combined.drop("ordinal", "features")
+    # Column stats aggregate the persisted narrow check rows (w/h/n_bytes
+    # fall out of the decode pass's Arrow offsets) rather than re-scanning
+    # the full bytes column — at 100 TB the payload scan IS the cost, and
+    # the decode stage already paid it once.
+    stats = profile_ops.column_stats(checks, [part], ["w", "h", "n_bytes"])
     feats = combined.where(F.col("features").isNotNull()).select(
         "image_id", "ordinal", "features"
     )
