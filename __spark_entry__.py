@@ -64,6 +64,33 @@ def _load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+_N_EVENTS: dict[str, int] = {}
+
+
+def _n_events(sf_dir: str) -> int:
+    """Row count of the events table from parquet FOOTERS (driver-side
+    metadata read, no Spark job): event ids are contiguous 1..n, so this
+    is the detector's n_total. Keeps detector plan construction
+    zero-job (DetectorConfig.n_total)."""
+    n = _N_EVENTS.get(sf_dir)
+    if n is None:
+        import glob
+        import os
+
+        import pyarrow.parquet as pq
+
+        path = f"{sf_dir}/events.parquet"
+        # either a single parquet file or a Spark-style directory of parts
+        files = (
+            sorted(glob.glob(os.path.join(path, "*.parquet")))
+            if os.path.isdir(path)
+            else [path]
+        )
+        n = sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+        _N_EVENTS[sf_dir] = n
+    return n
+
+
 def _event_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _load(spark, sf_dir, "events").select(
         (F.col("event_id") + 1).alias("id"),
@@ -71,13 +98,16 @@ def _event_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _det_cfg(algorithm: str = "mcod") -> DetectorConfig:
+def _det_cfg(algorithm: str = "mcod", n_total: int = 0) -> DetectorConfig:
     if algorithm == "lshod":
-        return lshod_config(DET_W, DET_S, DET_R, DET_K, dim=1)
+        return lshod_config(DET_W, DET_S, DET_R, DET_K, dim=1, n_total=n_total)
     if algorithm == "approx_mclshod":
-        return approx_mclshod_config(DET_W, DET_S, DET_R, DET_K, dim=1)
+        return approx_mclshod_config(
+            DET_W, DET_S, DET_R, DET_K, dim=1, n_total=n_total
+        )
     return DetectorConfig(
-        w=DET_W, slide=DET_S, r=DET_R, k=DET_K, algorithm=algorithm, dim=1
+        w=DET_W, slide=DET_S, r=DET_R, k=DET_K, algorithm=algorithm, dim=1,
+        n_total=n_total,
     )
 
 
@@ -95,7 +125,10 @@ def _detection(spark: SparkSession, sf_dir: str, algorithm: str = "mcod"):
     key = (id(spark), sf_dir, algorithm)
     res = _DETECTIONS.get(key)
     if res is None:
-        res = run_detector(_event_points(spark, sf_dir), _det_cfg(algorithm))
+        res = run_detector(
+            _event_points(spark, sf_dir),
+            _det_cfg(algorithm, n_total=_n_events(sf_dir)),
+        )
         res.per_point.persist()
         _DETECTIONS[key] = res
     return res
@@ -142,6 +175,7 @@ def q_approx_mcod_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         algorithm="approx_mcod",
         pd_limit=APPROX_PD_LIMIT,
         ar_factor=APPROX_AR_FACTOR,
+        n_total=_n_events(sf_dir),
     )
     return run_detector(_event_points(spark, sf_dir), cfg).outliers
 

@@ -46,20 +46,22 @@ def run_detector(points: DataFrame, cfg: DetectorConfig) -> DetectionResult:
 
 
 def lshod_config(
-    w: int, slide: int, r: float, k: int, seed: int = 42, dim: int = 0
+    w: int, slide: int, r: float, k: int, seed: int = 42, dim: int = 0,
+    n_total: int = 0,
 ) -> DetectorConfig:
     """LSHOD defaults per /root/reference/src/Executor.java:102-105."""
     return DetectorConfig(
         w=w, slide=slide, r=r, k=k, algorithm="lshod",
-        num_hashes=4, num_tables=10, seed=seed, dim=dim,
+        num_hashes=4, num_tables=10, seed=seed, dim=dim, n_total=n_total,
     )
 
 
 def approx_mclshod_config(
-    w: int, slide: int, r: float, k: int, seed: int = 42, dim: int = 0
+    w: int, slide: int, r: float, k: int, seed: int = 42, dim: int = 0,
+    n_total: int = 0,
 ) -> DetectorConfig:
     """ApproxMCLSHOD defaults per /root/reference/src/Executor.java:106-109."""
     return DetectorConfig(
         w=w, slide=slide, r=r, k=k, algorithm="approx_mclshod",
-        num_hashes=5, num_tables=10, seed=seed, dim=dim,
+        num_hashes=5, num_tables=10, seed=seed, dim=dim, n_total=n_total,
     )

@@ -42,6 +42,13 @@ class DetectorConfig:
     # probes the first stream object, src/core/Stream.java:16-22 — in
     # Spark that probe would be an eager job per plan build).
     dim: int = 0
+    # total stream length (max id); 0 = infer with one agg(max(id)) job at
+    # plan-build time. Same rationale as ``dim``: the reference's finite
+    # stream knows its own length (src/core/Stream.java:24-26), and in
+    # Spark the inference is a driver-blocking job per detection call —
+    # callers that know n pass it and query construction runs zero jobs
+    # (asserted by tests/test_profile_ops.py::test_plan_build_runs_no_jobs).
+    n_total: int = 0
 
     def __post_init__(self) -> None:
         if self.w <= 0 or self.slide <= 0:

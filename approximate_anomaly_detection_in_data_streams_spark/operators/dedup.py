@@ -16,9 +16,9 @@ Scale notes (the 100 TB framing):
     the same skew discipline as the north_rule demands;
   * minhash — signatures are one map-only pass (packed-codepoint shingles,
     seeded multiply-shift perms); banding turns candidate generation into
-    an equi-join on (band, hash) with 2-D block-splitting of giant buckets
-    and exact in-cluster verification against a broadcast text dictionary
-    (candidate pairs shuffle as bare int pairs, never with payloads);
+    an equi-join on (band, hash) with 2-D block-splitting of giant buckets;
+    candidate pairs shuffle as bare int pairs and the exact verify joins
+    texts for candidate ids only (fully distributed, no driver structure);
   * simhash — 64-bit signature, near-dup iff hamming distance <= 3 via
     4-piece pigeonhole equi-join (each piece is an exact-match key);
   * embedding cosine — blockwise matmul inside applyInPandas for the
@@ -31,6 +31,13 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+# Most-recent persisted MinHash signature table: minhash_lsh_pairs persists
+# its signature stage (two consumers), and a lazily-built plan gives no
+# hook to unpersist when the consumer finishes — so each new call releases
+# the previous call's table instead (bench reps / repeated notebook calls
+# hold at most ONE signature table, not a monotone leak).
+_LIVE_SIG: list[DataFrame] = []
 
 
 def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -229,8 +236,12 @@ def minhash_lsh_pairs(
     rows = num_perm // bands
     # persisted: the signature table feeds both the bucket-size aggregation
     # and the fan-out join — without the persist the map-only signature
-    # kernel would run once per consumer
+    # kernel would run once per consumer. Previous calls' tables are
+    # released here (see _LIVE_SIG).
+    while _LIVE_SIG:
+        _LIVE_SIG.pop().unpersist()
     sig = minhash_signatures(df, id_col, text_col, n, num_perm, seed).persist()
+    _LIVE_SIG.append(sig)
     banded = sig.select(
         "id",
         "sig",
@@ -252,7 +263,7 @@ def minhash_lsh_pairs(
     # Dataflow: banded keys -> bucket sizes -> thin oversized buckets
     # (bucket_cap) -> 2-D block split (block_size) -> per-block-pair
     # signature-estimate kernel -> distinct candidate pairs -> exact
-    # verify against a broadcast of the raw texts. Load-bearing choices:
+    # verify with candidate-only text joins. Load-bearing choices:
     #
     #  * the estimate kernel runs per PARTITION (mapInPandas over
     #    repartition+sortWithinPartitions), not per group — thousands of
@@ -267,14 +278,12 @@ def minhash_lsh_pairs(
     #    905-row output — measured 3x the rest of the pipeline). The
     #    distinct() both dedupes across bands and hash-balances the verify
     #    input;
-    #  * verification recomputes each document's shingle set from a
-    #    broadcast of the raw texts (far smaller than hash-set tables),
-    #    memoized per task, packed codepoints exactly like
-    #    minhash_signatures — so the verified jaccard is EXACT string
-    #    jaccard (collision-free shingle ids for n <= 3). For corpora
-    #    whose text dictionary outgrows a broadcast, shard it by id range
-    #    and run one verify pass per shard (pairs verified in the shard
-    #    owning id_a); the candidate dataflow is unchanged.
+    #  * verification is DISTRIBUTED: texts for candidate ids only are
+    #    repartition-joined onto the bare (id_a, id_b) rows, and each
+    #    task recomputes shingle sets (memoized per task, packed
+    #    codepoints exactly like minhash_signatures) — so the verified
+    #    jaccard is EXACT string jaccard (collision-free shingle ids for
+    #    n <= 3) with no driver-side text dictionary at any scale.
     cut = threshold - est_margin
     cap = bucket_cap or (1 << 30)
     sizes = banded.groupBy("band", "bh").agg(F.count(F.lit(1)).alias("m"))
@@ -377,12 +386,6 @@ def minhash_lsh_pairs(
 
     if n > 3:
         raise ValueError("packed shingle verify supports n <= 3")
-    text_rows = df.select(
-        F.col(id_col).cast("long").alias("id"), F.col(text_col).alias("text")
-    ).collect()
-    btexts = df.sparkSession.sparkContext.broadcast(
-        {r["id"]: r["text"] for r in text_rows}
-    )
 
     def _pack(t: str) -> frozenset:
         if len(t) < n:
@@ -401,13 +404,13 @@ def minhash_lsh_pairs(
         return frozenset(packed.tolist())
 
     def verify(batches):
-        texts = btexts.value
+        # per-task memo keyed by doc id: hot documents appear in many
+        # candidate pairs and pack once per task, not once per pair
         memo: dict[int, frozenset] = {}
 
-        def get(i: int) -> frozenset | None:
+        def get(i: int, t) -> frozenset | None:
             s = memo.get(i)
             if s is None:
-                t = texts.get(i)
                 if t is None:
                     return None
                 memo[i] = s = _pack(t)
@@ -418,11 +421,13 @@ def minhash_lsh_pairs(
                 continue
             ida = pdf["id_a"].to_numpy()
             idb = pdf["id_b"].to_numpy()
+            ta = pdf["_ta"].to_numpy()
+            tb = pdf["_tb"].to_numpy()
             m = len(pdf)
             jac = np.zeros(m, dtype=np.float64)
             for i in range(m):
-                A = get(int(ida[i]))
-                B = get(int(idb[i]))
+                A = get(int(ida[i]), ta[i])
+                B = get(int(idb[i]), tb[i])
                 if not A or not B:
                     continue
                 inter = len(A & B)
@@ -434,12 +439,28 @@ def minhash_lsh_pairs(
             )
 
     sp = banded.sparkSession.conf.get("spark.sql.shuffle.partitions", "64")
-    return (
+    cand = (
         fanned.repartition(int(sp), "band", "bh", "lo", "hi")
         .sortWithinPartitions("band", "bh", "lo", "hi")
         .mapInPandas(emit, "id_a long, id_b long")
         .distinct()  # dedupe across bands/blocks; also balances the verify input
-        .mapInPandas(verify, "id_a long, id_b long, jaccard double")
+    )
+    # Distributed exact verify: texts join the candidates by bare long id
+    # (two shuffles keyed on id_a / id_b, payload = the candidate rows plus
+    # ONE text copy per side). The text table is never collected and no
+    # driver-sized structure exists anywhere in this operator; at corpus
+    # scale the verify input is |candidates| rows, not |corpus|. Inner
+    # joins drop candidates whose id is missing from the corpus — identical
+    # to the old dict.get(None) -> jaccard 0 < threshold path.
+    texts = df.select(
+        F.col(id_col).cast("long").alias("id"), F.col(text_col).alias("text")
+    )
+    with_texts = (
+        cand.join(texts.withColumnRenamed("id", "id_a").withColumnRenamed("text", "_ta"), "id_a")
+        .join(texts.withColumnRenamed("id", "id_b").withColumnRenamed("text", "_tb"), "id_b")
+    )
+    return (
+        with_texts.mapInPandas(verify, "id_a long, id_b long, jaccard double")
         .orderBy("id_a", "id_b")
     )
 

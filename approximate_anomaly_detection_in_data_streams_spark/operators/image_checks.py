@@ -371,8 +371,11 @@ def decode_digests(images: DataFrame, ordinal_col: str | None = None) -> DataFra
                     # byte lengths fall out of the offsets already in hand —
                     # carrying them lets the validator's size stats aggregate
                     # the (persisted, narrow) digest rows instead of
-                    # re-scanning the full bytes column
-                    pa.array(lengths),
+                    # re-scanning the full bytes column. Null payloads emit
+                    # NULL (not 0) so size stats match the F.length
+                    # convention the validator previously aggregated
+                    # (ADVICE r2).
+                    pa.array(lengths, mask=null_mask),
                     pa.array(decode_ok),
                     pa.array(dims_ok),
                     pa.array(phash_ok),
@@ -407,8 +410,17 @@ def psnr_verify(images: DataFrame, reference: DataFrame, ids: DataFrame) -> Data
         reference.join(F.broadcast(ids), "image_id", "left_semi")
         .groupBy("image_id")
         .agg(
+            # md5(ref_bytes) breaks ties when duplicate reference rows
+            # share (ref_phash, ref_caption) but carry different bytes —
+            # without it min_by picks nondeterministically and psnr /
+            # pixels_equal could vary run-to-run (ADVICE r2). The digest
+            # election in row_checks_and_features orders by the same
+            # (ref_phash, ref_caption) prefix and only consumes those two
+            # columns, so tied rows are indistinguishable there and the
+            # two elections stay consistent.
             F.min_by(
-                "ref_bytes", F.struct("ref_phash", "ref_caption")
+                "ref_bytes",
+                F.struct("ref_phash", "ref_caption", F.md5("ref_bytes")),
             ).alias("ref_bytes")
         )
     )

@@ -135,7 +135,16 @@ def lsh_neighbor_pairs(
     order — the deterministic analog of the reference's bucket eviction
     (/root/reference/src/core/lsh/HashTable.java:22-35); dropped members can
     only lower neighbor counts, so capped output stays a superset of what a
-    capped reference table would produce.
+    capped reference table would produce. KNOWN recall trade when capped:
+    the min-table dedupe keeps a pair only at the first table whose KEYS
+    collide, so if a member was thinned out of that first bucket the pair
+    is also suppressed at later tables where both members survived (the
+    keys still collide there). The reference's HashSet union would find it
+    at the later table; our capped variant loses it. No detector config
+    sets bucket_cap (default None = exact union semantics); if capping is
+    ever enabled at scale, this is a documented extra recall loss, not a
+    correctness bug (same failure direction as any candidate miss — counts
+    only drop, outlier sets stay supersets).
     """
     from pyspark.sql.window import Window
 
@@ -341,8 +350,17 @@ def lsh_neighbor_counts(
             slides = slides_all[b0:b1]
             home = home_all[b0:b1]
             X = np.stack(feats_all[b0:b1]).astype(np.float64)
-            sq = np.einsum("ij,ij->i", X, X)
-            M = sq[:, None] + sq[None, :] - 2.0 * (X @ X.T) <= r2
+            # per-dimension (a-b)^2 accumulated left-to-right — the SAME
+            # IEEE fold as lsh_neighbor_pairs' unrolled codegen predicate
+            # and the DuckDB oracle. The Gram identity (sq_i + sq_j -
+            # 2*x.y) differs in the last ulp, which could silently flip a
+            # pair with d^2 within rounding of r^2 (ADVICE r2).
+            diff = X[:, 0][:, None] - X[:, 0][None, :]
+            D2 = diff * diff
+            for d in range(1, X.shape[1]):
+                diff = X[:, d][:, None] - X[:, d][None, :]
+                D2 += diff * diff
+            M = D2 <= r2
             off = slides[None, :] - slides[:, None] + max_gap
             M &= (off >= 0) & (off < n_bins)
             M &= home[:, None] | home[None, :]

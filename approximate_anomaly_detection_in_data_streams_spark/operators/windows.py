@@ -37,8 +37,13 @@ def with_slide(points: DataFrame, cfg: DetectorConfig) -> DataFrame:
 
 
 def n_batches(points: DataFrame, cfg: DetectorConfig) -> int:
-    """Total number of evaluation batches B = ceil(n / S)."""
-    n = points.agg(F.max("id")).first()[0] or 0
+    """Total number of evaluation batches B = ceil(n / S).
+
+    ``cfg.n_total`` (when set) keeps this a pure arithmetic step; the
+    ``agg(max(id))`` fallback is a driver-blocking job that serializes
+    plan construction and exists only for ad-hoc callers.
+    """
+    n = cfg.n_total or points.agg(F.max("id")).first()[0] or 0
     return (n + cfg.slide - 1) // cfg.slide
 
 

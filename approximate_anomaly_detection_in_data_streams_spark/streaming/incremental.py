@@ -208,7 +208,9 @@ def run_structured_stream(
     from .keyed import INPUT_SCHEMA, run_keyed_structured_stream
 
     point_schema = "id long, features array<double>"
-    n_total = (
+    # cfg.n_total skips the one-time directory scan; the agg fallback runs
+    # once before the stream starts (never per micro-batch)
+    n_total = cfg.n_total or (
         spark.read.schema(point_schema).json(input_dir).agg(F.max("id")).first()[0]
     )
     staged = os.path.join(checkpoint_dir, "_keyed_input")

@@ -338,3 +338,40 @@ def test_minhash_equals_exact_on_edge_corpus(spark):
     }
     assert mh == exact
     assert len(exact) > 1000  # the template cluster really is pairwise similar
+
+
+def test_plan_build_runs_no_jobs(spark, sf_dir):
+    """With dim and n_total carried in DetectorConfig, constructing every
+    detector query plan must trigger ZERO Spark jobs (no driver-blocking
+    agg/first at plan-build time). Asserted via a dedicated job group."""
+    from approximate_anomaly_detection_in_data_streams_spark.api import (
+        approx_mclshod_config,
+        lshod_config,
+        run_detector,
+    )
+    from approximate_anomaly_detection_in_data_streams_spark.config import (
+        DetectorConfig,
+    )
+
+    pts = spark.read.parquet(f"{sf_dir}/events.parquet").selectExpr(
+        "event_id + 1 as id", "array(cast(value as double)) as features"
+    )
+    n = 10_000  # any positive value works for plan construction
+    sc = spark.sparkContext
+    sc.setJobGroup("plan-build", "assert no jobs during query construction")
+    try:
+        for cfg in (
+            DetectorConfig(w=400, slide=100, r=15.0, k=10, dim=1, n_total=n),
+            lshod_config(400, 100, 15.0, 10, dim=1, n_total=n),
+            approx_mclshod_config(400, 100, 15.0, 10, dim=1, n_total=n),
+            DetectorConfig(
+                w=400, slide=100, r=15.0, k=10, algorithm="approx_mcod",
+                pd_limit=300, ar_factor=0.3, dim=1, n_total=n,
+            ),
+        ):
+            res = run_detector(pts, cfg)
+            _ = res.outliers, res.stats  # plans only, never executed
+    finally:
+        sc.setJobGroup("done", "")
+    jobs = sc.statusTracker().getJobIdsForGroup("plan-build")
+    assert jobs == [], f"plan construction ran Spark jobs: {jobs}"
