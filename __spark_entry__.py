@@ -10,6 +10,7 @@ ship without an oracle — the driver records rows-only checks for those.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -535,8 +536,10 @@ def q_image_partition_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_image_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """All violation rows (row invariants, point anomalies, phash dups)."""
-    return _image_report(spark).violations.orderBy("image_id", "kind")
+    """All violation rows (row invariants, point anomalies, phash dups).
+    Ordered by every column: duplicate image_ids can carry two same-kind
+    rows with different details, and the oracle compare is order-exact."""
+    return _image_report(spark).violations.orderBy("image_id", "kind", "detail")
 
 
 def q_image_drift_slides(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -572,12 +575,16 @@ def q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     from approximate_anomaly_detection_in_data_streams_spark.operators import media
 
     frames = media.sample_frames(media.generate_video(spark, MEDIA_N, seed=11), 2)
+    # portable fingerprint (md5 prefix as bigint — the repo's standard
+    # oracle-portability trick) so the planted-truth DuckDB twin can carry
+    # the identical value
+    fp = F.conv(F.substring(F.md5("frame_bytes"), 1, 15), 16, 10).cast("long")
     return frames.select(
         "video_id",
         "frame_idx",
         "w",
         "h",
-        F.xxhash64("frame_bytes").alias("frame_fp"),
+        fp.alias("frame_fp"),
     ).orderBy("video_id", "frame_idx")
 
 
@@ -1198,8 +1205,66 @@ from documents order by doc_id
 """
 
 
+DRIFT_L1_LIMIT_IMG = 45.0  # ImageValidatorConfig default, used in the twin SQL
+MAX_VIOLATION_RATE = 0.05
+
+
+def _multimodal_oracle_sqls() -> dict[str, str]:
+    """Planted-ground-truth oracles for the five multimodal queries.
+
+    The synthetic generators are pure functions of (config, ordinal), so a
+    SEQUENTIAL pure-Python reimplementation of the validation semantics
+    (scalar codec.decode, per-window O(n^2) detection, dict-based truth-row
+    election — oracle/planted.py) computes the exact expected outputs and
+    persists them as parquet side tables; DuckDB reads them and recomputes
+    the SQL-expressible math (rates, rounding, thresholds) on top. Any
+    divergence of the distributed Arrow/shuffle dataflow from the scalar
+    semantics breaks the hash match.
+    """
+    from approximate_anomaly_detection_in_data_streams_spark.config import (
+        DetectorConfig as _DC,
+    )
+    from approximate_anomaly_detection_in_data_streams_spark.oracle.planted import (
+        ensure_truth,
+    )
+    from approximate_anomaly_detection_in_data_streams_spark.validator import (
+        ImageValidatorConfig,
+    )
+
+    out_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".oracle_truth")
+    vcfg = ImageValidatorConfig(drift=_DC(w=200, slide=50, r=40.0, k=6))
+    paths = ensure_truth(out_dir, _image_cfg(), vcfg, MEDIA_N, 11, 2)
+    return {
+        "image_partition_verdicts": f"""
+select fmt, n_rows, n_row_violations,
+  round(n_row_violations * 1.0 / n_rows, 6) as violation_rate,
+  (n_row_violations * 1.0 / n_rows) <= {MAX_VIOLATION_RATE} as passed
+from read_parquet('{paths["verdicts"]}') order by fmt
+""",
+        "image_violations": f"""
+select image_id, kind, detail from read_parquet('{paths["violations"]}')
+order by image_id, kind, detail
+""",
+        "image_drift_slides": f"""
+select slide, n_rows, round(l1, 4) as l1, l1 > {DRIFT_L1_LIMIT_IMG} as drifted
+from read_parquet('{paths["drift"]}') order by slide
+""",
+        "audio_features": f"""
+select audio_id, decode_ok, round(duration_s, 6) as duration_s,
+  round(rms, 6) as rms, round(zero_crossing_rate, 6) as zero_crossing_rate,
+  round(peak, 6) as peak
+from read_parquet('{paths["audio"]}') order by audio_id
+""",
+        "video_frames": f"""
+select video_id, frame_idx, w, h, frame_fp
+from read_parquet('{paths["video"]}') order by video_id, frame_idx
+""",
+    }
+
+
 def oracle_sql() -> dict[str, str]:
     return {
+        **_multimodal_oracle_sqls(),
         "mcod_outliers": _mcod_outliers_sql(),
         "mcod_stats": _mcod_stats_sql(),
         "approx_mcod_outliers": _approx_mcod_sql(),

@@ -1,0 +1,488 @@
+"""Planted-ground-truth oracle for the multimodal queries.
+
+DuckDB cannot decode the image/audio/video containers, so the five
+multimodal driver queries previously ran rows-only checks. But every
+fixture is *synthetic with planted violations* — the generators
+(sources/images.py, operators/media.py) are pure functions of
+(config, ordinal) — so an independent SEQUENTIAL reimplementation of the
+validation semantics can compute the exact expected outputs in plain
+NumPy (scalar `codec.decode` path, per-window O(n^2) detection loop, no
+Spark, no Arrow kernels, no distributed dataflow) and persist them as
+parquet side tables. The DuckDB oracle then reads those tables and
+recomputes the SQL-expressible math (rates, rounding, thresholds) on top
+— giving the multimodal pipeline the same exact rows+schema+hash gate as
+every other query.
+
+What makes this a genuine oracle rather than a tautology: the Spark side
+decodes through the vectorized Arrow kernels (operators/image_checks.py
+``decode_digests``/``psnr_verify``), elects reference truth rows in a
+distributed aggregation, runs the anomaly stage through the banded
+block-join detector (operators/pairs.py + operators/detector.py), and
+aggregates drift through shuffles; this module re-derives every one of
+those results through the scalar single-process path (codec.decode,
+explicit per-batch window loops, Python dict elections). Any divergence
+between the two dataflows — batching bugs, fan-out on duplicate
+image_ids, election nondeterminism, wrong window arithmetic — breaks the
+hash match. The per-image digest arithmetic (`_digest_same_shape`) is
+shared by design: it is the *definition* of the feature vector, and its
+per-image values are independent of batch grouping (all reductions are
+per-row), which this module relies on and tests/test_image_validator.py
+asserts.
+
+Reference analog: the same planted-truth trick that oracles the detector
+(md5 priorities, __spark_entry__._approx_mcod_sql) — the reference's own
+test strategy compares against externally-known outlier files
+(/root/reference/src/mcodFile.txt, src/Executor.java:209-222).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+from collections import Counter, defaultdict
+
+import numpy as np
+
+from ..functions import image_codec as codec
+from ..functions import media_codec as mcodec
+from ..operators.image_checks import PSNR_MIN_DB, _digest_same_shape
+from ..sources.images import ImageTableConfig, _row, _true_pixels, caption_for
+
+# ---------------------------------------------------------------------------
+# image table truth
+# ---------------------------------------------------------------------------
+
+
+def _classify_bytes(data: bytes | None) -> tuple[bool, str]:
+    """Replicates decode_digests' failure taxonomy (image_checks.py) on one
+    payload: (decode_ok, reason). Scalar re-derivation, not the kernel."""
+    if data is None:
+        return False, "decode:null bytes"
+    if len(data) < 8:
+        return False, "decode:truncated header"
+    magic = data[:4]
+    w, h = (int(v) for v in np.frombuffer(data[4:8], dtype="<u2"))
+    plausible = 0 < w <= 16384 and 0 < h <= 16384
+    if magic in (codec.MAGIC_RAW, codec.MAGIC_QNT):
+        if not plausible or len(data) - 8 != w * h:
+            return False, "decode:payload size mismatch"
+        return True, ""
+    if magic == codec.MAGIC_JPEG:
+        pw8 = -(-w // 8) * 8
+        ph8 = -(-h // 8) * 8
+        if not plausible or len(data) - 8 != pw8 * ph8 * 2:
+            return False, "decode:payload size mismatch"
+        return True, ""
+    return False, "decode:unknown magic"
+
+
+def _digest_one(pixels: np.ndarray) -> tuple[int, np.ndarray]:
+    """(phash, features) of one image via the shared per-image digest
+    definition (batch-size independent — see module docstring)."""
+    ph, fv, _ = _digest_same_shape(pixels[None].astype(np.uint8))
+    return int(ph[0]), fv[0]
+
+
+def _end_eval_outlier_ids(
+    ids: np.ndarray, X: np.ndarray, w: int, slide: int, r: float, k: int
+) -> set[int]:
+    """Sequential end-evaluation detector: ids NEVER having >= k neighbors
+    within R in any window they live through (ids may repeat — duplicate
+    image_ids produce duplicate detector points whose per-id counts merge,
+    exactly like the distributed groupBy(i) path)."""
+    ws = w // slide
+    slides = (ids - 1) // slide + 1
+    b_total = int((ids.max() + slide - 1) // slide) if len(ids) else 0
+    r2 = float(r) * float(r)
+    ever_inlier: dict[int, bool] = {int(i): False for i in ids}
+    for b in range(1, b_total + 1):
+        sel = (slides >= b - ws + 1) & (slides <= b)
+        if not sel.any():
+            continue
+        Xw = X[sel]
+        idw = ids[sel]
+        sq = np.einsum("ij,ij->i", Xw, Xw)
+        d2 = sq[:, None] + sq[None, :] - 2.0 * (Xw @ Xw.T)
+        m = d2 <= r2
+        np.fill_diagonal(m, False)
+        row_cnt = m.sum(axis=1)
+        per_id: dict[int, int] = defaultdict(int)
+        for i, c in zip(idw.tolist(), row_cnt.tolist()):
+            per_id[i] += int(c)
+        for i, c in per_id.items():
+            if c >= k:
+                ever_inlier[i] = True
+    return {i for i, v in ever_inlier.items() if not v}
+
+
+def image_truth(cfg: ImageTableConfig, vcfg) -> dict[str, list[dict]]:
+    """Expected validator outputs for the synthetic image table:
+    {"violations": [...], "verdicts": [...], "drift": [...]}."""
+    rows = [_row(cfg, i) for i in range(cfg.n)]
+
+    # reference truth rows, keyed by WRITTEN image_id (duplicate ids carry
+    # several claimant reference rows — election below)
+    refs: dict[str, list[tuple[int, str, bytes]]] = defaultdict(list)
+    for i in range(cfg.n):
+        r = rows[i]
+        pixels, _src, _anom = _true_pixels(cfg, i)
+        refs[r["image_id"]].append(
+            (
+                codec.average_hash(pixels),
+                caption_for(cfg.seed, i),
+                codec.encode_raw(pixels),
+            )
+        )
+
+    # elected truth row per image_id: min by (ref_phash, ref_caption,
+    # md5(ref_bytes)) — the same ordering psnr_verify uses; the digest
+    # election consumes only the (phash, caption) prefix
+    import hashlib
+
+    elected: dict[str, tuple[int, str, bytes]] = {
+        iid: min(
+            cand,
+            key=lambda t: (t[0], t[1], hashlib.md5(t[2]).hexdigest()),
+        )
+        for iid, cand in refs.items()
+    }
+
+    # per-row checks through the scalar decode path
+    checks: list[dict] = []
+    for r in rows:
+        decode_ok, dreason = _classify_bytes(r["bytes"])
+        ordinal = int(re.search(r"(\d+)$", r["image_id"]).group(1))
+        rec = {
+            "image_id": r["image_id"],
+            "fmt": r["fmt"],
+            "ordinal": ordinal,
+            "decode_ok": decode_ok,
+            "decode_reason": dreason,
+            "dims_ok": decode_ok,
+            "phash_ok": False,
+            "phash_dec": -1,
+            "features": None,
+        }
+        if decode_ok:
+            pixels = codec.decode(r["bytes"])
+            ph, fv = _digest_one(pixels)
+            rec["phash_dec"] = ph
+            rec["features"] = fv
+            rec["dims_ok"] = pixels.shape == (r["h"], r["w"])
+            rec["phash_ok"] = ph == r["phash"]
+            rec["pixels"] = pixels
+        checks.append(rec)
+
+    # digest-disagreement set -> exact PSNR pass over ALL claimant rows of
+    # each disagreed image_id (min psnr, AND equality — worst case)
+    disagreed: set[str] = set()
+    for rec in checks:
+        ref = elected.get(rec["image_id"])
+        if ref is not None and rec["decode_ok"] and rec["phash_dec"] != ref[0]:
+            disagreed.add(rec["image_id"])
+    psnr_agg: dict[str, tuple[float, bool]] = {}
+    by_id: dict[str, list[dict]] = defaultdict(list)
+    for i, rec in enumerate(checks):
+        by_id[rec["image_id"]].append(rec)
+    for iid in disagreed:
+        ref = elected[iid]
+        ref_pixels = codec.decode(ref[2])
+        p_min, eq_all = float("inf"), True
+        for rec in by_id[iid]:
+            p, eq = 0.0, False
+            px = rec.get("pixels")
+            if px is not None:  # decode-failing claimants contribute (0, False)
+                p = codec.psnr(px, ref_pixels)
+                eq = bool(np.array_equal(px, ref_pixels))
+            p_min = min(p_min, p)
+            eq_all = eq_all and eq
+        psnr_agg[iid] = (p_min, eq_all)
+
+    # per-row verdicts (rows and checks are index-aligned)
+    violations: list[dict] = []
+    fmt_counts: Counter = Counter()
+    fmt_viol: Counter = Counter()
+    for row, rec in zip(rows, checks):
+        iid = rec["image_id"]
+        ref = elected.get(iid)
+        has_ref = ref is not None
+        digest_match = has_ref and rec["decode_ok"] and rec["phash_dec"] == ref[0]
+        if not has_ref:
+            pixels_ok = False
+        elif not rec["decode_ok"]:
+            pixels_ok = False
+        elif digest_match:
+            pixels_ok = True
+        else:
+            p, eq = psnr_agg.get(iid, (0.0, False))
+            lossless = rec["fmt"] == "raw"
+            pixels_ok = eq if lossless else (p >= PSNR_MIN_DB)
+        caption_ok = has_ref and (row["caption"] == ref[1])
+        is_violation = (
+            (not rec["decode_ok"])
+            or (not rec["dims_ok"])
+            or (not rec["phash_ok"])
+            or (not pixels_ok)
+            or (not caption_ok)
+        )
+        parts = []
+        if rec["decode_reason"]:
+            parts.append(rec["decode_reason"])
+        if not rec["dims_ok"] and rec["decode_ok"]:
+            parts.append("dims")
+        if not rec["phash_ok"] and rec["decode_ok"]:
+            parts.append("phash")
+        if not has_ref:
+            parts.append("no_reference")
+        if has_ref and not pixels_ok and rec["decode_ok"]:
+            parts.append("pixels")
+        if has_ref and not caption_ok:
+            parts.append("caption")
+        reason = ",".join(parts)
+        fmt_counts[rec["fmt"]] += 1
+        if is_violation:
+            fmt_viol[rec["fmt"]] += 1
+            violations.append(
+                {"image_id": iid, "kind": "row_invariant", "detail": reason}
+            )
+
+    # point anomalies: sequential end-eval detector over decode_ok features
+    feat_rows = [rec for rec in checks if rec["features"] is not None]
+    ids = np.array([rec["ordinal"] + 1 for rec in feat_rows], dtype=np.int64)
+    X = np.stack([rec["features"] for rec in feat_rows]).astype(np.float64)
+    det = vcfg.drift
+    outlier_ids = _end_eval_outlier_ids(ids, X, det.w, det.slide, det.r, det.k)
+    id_mult = Counter(ids.tolist())
+    iid_of_id: dict[int, str] = {}
+    for rec in feat_rows:
+        iid_of_id[rec["ordinal"] + 1] = rec["image_id"]
+    for i in sorted(outlier_ids):
+        m = id_mult[i]
+        for _ in range(m * m):  # det rows x feat rows join fan-out
+            violations.append(
+                {
+                    "image_id": iid_of_id[i],
+                    "kind": "point_anomaly",
+                    "detail": f"ordinal={i - 1}",
+                }
+            )
+
+    # phash duplicate groups (stored phash column, > phash_dup_limit rows)
+    by_phash: dict[int, list[str]] = defaultdict(list)
+    for r in rows:
+        by_phash[r["phash"]].append(r["image_id"])
+    for ph, members in by_phash.items():
+        if len(members) > vcfg.phash_dup_limit:
+            for iid in sorted(set(members)):
+                violations.append(
+                    {
+                        "image_id": iid,
+                        "kind": "phash_dup",
+                        "detail": f"group_size={len(members)}",
+                    }
+                )
+
+    verdicts = [
+        {
+            "fmt": fmt,
+            "n_rows": int(fmt_counts[fmt]),
+            "n_row_violations": int(fmt_viol[fmt]),
+        }
+        for fmt in sorted(fmt_counts)
+    ]
+
+    # drift: per-slide mean feature profile vs global, L1
+    slide_size = vcfg.drift_slide_size
+    dims = X.shape[1]
+    slides = np.array([rec["ordinal"] // slide_size for rec in feat_rows])
+    global_mean = X.mean(axis=0)
+    drift = []
+    for s in sorted(set(slides.tolist())):
+        sel = slides == s
+        sm = X[sel].mean(axis=0)
+        l1 = float(np.abs(sm - global_mean).sum())
+        drift.append({"slide": int(s), "n_rows": int(sel.sum()), "l1": l1})
+
+    return {"violations": violations, "verdicts": verdicts, "drift": drift}
+
+
+# ---------------------------------------------------------------------------
+# audio / video truth
+# ---------------------------------------------------------------------------
+
+
+def audio_truth(n: int, seed: int) -> list[dict]:
+    """Expected (unrounded) audio features, re-derived from the synthesis
+    signal chain (quantization replayed) — not via the container decoder."""
+    out = []
+    for o in range(n):
+        sr = 8000
+        rng = np.random.default_rng((seed * 7919 + o * 31 + 5) & 0xFFFFFFFF)
+        m = int(sr * (0.25 + rng.random()))
+        t = np.arange(m) / sr
+        f1, f2 = rng.uniform(80, 800), rng.uniform(800, 3500)
+        x = (
+            0.5 * np.sin(2 * np.pi * f1 * t)
+            + 0.2 * np.sin(2 * np.pi * f2 * t)
+            + 0.05 * rng.standard_normal(m)
+        )
+        s16 = np.clip(x * 20000, -32768, 32767).astype("<i2")
+        samples = s16.astype(np.float64) / 32768.0
+        rms = float(np.sqrt(np.mean(samples * samples)))
+        zcr = float(np.mean(np.signbit(samples[1:]) != np.signbit(samples[:-1])))
+        out.append(
+            {
+                "audio_id": f"aud_{o:08d}",
+                "decode_ok": True,
+                "duration_s": m / sr,
+                "rms": rms,
+                "zero_crossing_rate": zcr,
+                "peak": float(np.abs(samples).max()),
+            }
+        )
+    return out
+
+
+def video_truth(n: int, seed: int, every_k: int) -> list[dict]:
+    """Expected sampled frames with a PORTABLE md5-derived fingerprint of
+    the raw-container re-encoding (15 hex chars -> bigint, the repo's
+    standard portable-hash trick)."""
+    import hashlib
+
+    out = []
+    for o in range(n):
+        rng = np.random.default_rng((seed * 104729 + o * 13 + 11) & 0xFFFFFFFF)
+        w = int(rng.integers(16, 33))
+        h = int(rng.integers(16, 25))
+        nf = int(rng.integers(4, 13))
+        yy, xx = np.mgrid[0:h, 0:w]
+        base = (xx * 255 / max(w - 1, 1) + yy * 64 / max(h - 1, 1)) % 256
+        shift = rng.integers(0, 32)
+        for idx in range(0, nf, every_k):
+            frame = ((base + shift + 7 * idx) % 256).astype(np.uint8)
+            payload = codec.encode_raw(frame)
+            fp = int(hashlib.md5(payload).hexdigest()[:15], 16)
+            out.append(
+                {
+                    "video_id": f"vid_{o:08d}",
+                    "frame_idx": idx,
+                    "w": w,
+                    "h": h,
+                    "frame_fp": fp,
+                }
+            )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# parquet persistence (driver-side, cached by config fingerprint)
+# ---------------------------------------------------------------------------
+
+
+def ensure_truth(
+    out_dir: str,
+    img_cfg: ImageTableConfig,
+    vcfg,
+    media_n: int,
+    media_seed: int,
+    every_k: int,
+) -> dict[str, str]:
+    """Write (once per config) the truth parquet side tables the DuckDB
+    oracle reads; returns {name: absolute path}. Pure driver-side Python —
+    no Spark session involved."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    fp = json.dumps(
+        {
+            "img": vars(img_cfg) if not hasattr(img_cfg, "__dataclass_fields__") else {
+                k: getattr(img_cfg, k) for k in img_cfg.__dataclass_fields__
+            },
+            "det": [vcfg.drift.w, vcfg.drift.slide, vcfg.drift.r, vcfg.drift.k],
+            "v": [
+                vcfg.phash_dup_limit,
+                vcfg.max_violation_rate,
+                vcfg.drift_slide_size,
+                vcfg.drift_l1_limit,
+            ],
+            "media": [media_n, media_seed, every_k],
+            "rev": 1,
+        },
+        sort_keys=True,
+        default=str,
+    )
+    os.makedirs(out_dir, exist_ok=True)
+    stamp = os.path.join(out_dir, "fingerprint.json")
+    paths = {
+        name: os.path.join(out_dir, f"{name}.parquet")
+        for name in ("violations", "verdicts", "drift", "audio", "video")
+    }
+    if os.path.exists(stamp) and open(stamp).read() == fp and all(
+        os.path.exists(p) for p in paths.values()
+    ):
+        return paths
+
+    truth = image_truth(img_cfg, vcfg)
+
+    def write(name: str, records: list[dict], schema: pa.Schema) -> None:
+        cols = {
+            f.name: [r[f.name] for r in records] for f in schema
+        }
+        pq.write_table(pa.table(cols, schema=schema), paths[name])
+
+    write(
+        "violations",
+        truth["violations"],
+        pa.schema(
+            [("image_id", pa.string()), ("kind", pa.string()), ("detail", pa.string())]
+        ),
+    )
+    write(
+        "verdicts",
+        truth["verdicts"],
+        pa.schema(
+            [
+                ("fmt", pa.string()),
+                ("n_rows", pa.int64()),
+                ("n_row_violations", pa.int64()),
+            ]
+        ),
+    )
+    write(
+        "drift",
+        truth["drift"],
+        pa.schema(
+            [("slide", pa.int64()), ("n_rows", pa.int64()), ("l1", pa.float64())]
+        ),
+    )
+    write(
+        "audio",
+        audio_truth(media_n, media_seed),
+        pa.schema(
+            [
+                ("audio_id", pa.string()),
+                ("decode_ok", pa.bool_()),
+                ("duration_s", pa.float64()),
+                ("rms", pa.float64()),
+                ("zero_crossing_rate", pa.float64()),
+                ("peak", pa.float64()),
+            ]
+        ),
+    )
+    write(
+        "video",
+        video_truth(media_n, media_seed, every_k),
+        pa.schema(
+            [
+                ("video_id", pa.string()),
+                ("frame_idx", pa.int32()),
+                ("w", pa.int32()),
+                ("h", pa.int32()),
+                ("frame_fp", pa.int64()),
+            ]
+        ),
+    )
+    with open(stamp, "w") as fh:
+        fh.write(fp)
+    return paths
