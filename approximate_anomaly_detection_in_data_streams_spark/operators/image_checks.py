@@ -389,6 +389,70 @@ def decode_digests(images: DataFrame, ordinal_col: str | None = None) -> DataFra
     return df.mapInArrow(run, DIGEST_SCHEMA)
 
 
+def _decode_rows(vals: np.ndarray) -> list[np.ndarray | None]:
+    """Shape-grouped vectorized decode of a column of image payloads:
+    returns per-row uint8 (h, w) arrays (None for malformed rows — the
+    same failure taxonomy as ``decode_digests``). Per-row Python is
+    limited to header parsing and one memcpy; dequantization and the
+    jpeg inverse block-DCT run vectorized per same-shape group with the
+    exact arithmetic of ``codec.decode`` (bit-identical pixels)."""
+    n = len(vals)
+    out: list[np.ndarray | None] = [None] * n
+    groups: dict[tuple[int, int, int], list[int]] = {}
+    for i in range(n):
+        v = vals[i]
+        if v is None or len(v) < 8:
+            continue
+        head = np.frombuffer(v[:8] if isinstance(v, (bytes, bytearray)) else bytes(v[:8]), dtype=np.uint8)
+        magic = int(head[:4].view("<u4")[0])
+        w = int(head[4]) | (int(head[5]) << 8)
+        h = int(head[6]) | (int(head[7]) << 8)
+        if not (0 < w <= 16384 and 0 < h <= 16384):
+            continue
+        if magic in (_MAGIC_VALS[codec.MAGIC_RAW], _MAGIC_VALS[codec.MAGIC_QNT]):
+            if len(v) - 8 != w * h:
+                continue
+        elif magic == _MAGIC_VALS[codec.MAGIC_JPEG]:
+            pw8, ph8 = -(-w // 8) * 8, -(-h // 8) * 8
+            if len(v) - 8 != pw8 * ph8 * 2:
+                continue
+        else:
+            continue
+        groups.setdefault((magic, w, h), []).append(i)
+    for (magic, w, h), idxs in groups.items():
+        g = len(idxs)
+        if magic == _MAGIC_VALS[codec.MAGIC_JPEG]:
+            pw8, ph8 = -(-w // 8) * 8, -(-h // 8) * 8
+            coeffs = np.empty((g, ph8 * pw8), dtype=np.float64)
+            for k, i in enumerate(idxs):
+                raw = np.frombuffer(vals[i], dtype="<i2", offset=8)
+                np.multiply(raw, float(codec.JPEG_Q), out=coeffs[k])
+            img = np.einsum(
+                "ji,najbk,kl->naibl",
+                codec._DCT8,
+                coeffs.reshape(g, ph8 // 8, 8, pw8 // 8, 8),
+                codec._DCT8,
+            ).reshape(g, ph8, pw8)
+            np.rint(img, out=img)
+            np.clip(img, 0, 255, out=img)
+            stack = img[:, :h, :w].astype(np.uint8)
+        else:
+            stack = np.empty((g, h, w), dtype=np.uint8)
+            for k, i in enumerate(idxs):
+                stack[k] = np.frombuffer(
+                    vals[i], dtype=np.uint8, offset=8
+                ).reshape(h, w)
+            if magic == _MAGIC_VALS[codec.MAGIC_QNT]:
+                t16 = stack.astype(np.uint16)
+                t16 <<= codec.QNT_SHIFT
+                t16 += 1 << (codec.QNT_SHIFT - 1)
+                np.minimum(t16, 255, out=t16)
+                stack = t16.astype(np.uint8)
+        for k, i in enumerate(idxs):
+            out[i] = stack[k]
+    return out
+
+
 def psnr_verify(images: DataFrame, reference: DataFrame, ids: DataFrame) -> DataFrame:
     """Targeted full-fidelity pass for rows whose digest disagreed with the
     reference: joins the actual bytes for ONLY those ids (semi-join prunes
@@ -426,23 +490,50 @@ def psnr_verify(images: DataFrame, reference: DataFrame, ids: DataFrame) -> Data
     )
     joined = subset.join(ref, "image_id", "left")
 
+    # Batched kernel (not per-row): decode both sides via the shape-grouped
+    # vectorized path and reduce PSNR/equality per same-shape pair group.
+    # The disagreement set is normally tiny, but an adversarial reference
+    # (e.g. a corrupted snapshot routing EVERY row here) must not degrade
+    # to per-row Python — tested in
+    # tests/test_image_validator.py::test_full_disagreement_psnr_is_batched.
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not len(pdf):
+            n = len(pdf)
+            if not n:
                 continue
-            rows = []
-            for row in pdf.itertuples(index=False):
-                p, eq = 0.0, False
-                try:
-                    pixels = codec.decode(bytes(row.bytes))
-                    if row.ref_bytes is not None:
-                        ref_pixels = codec.decode(bytes(row.ref_bytes))
-                        p = codec.psnr(pixels, ref_pixels)
-                        eq = bool(np.array_equal(pixels, ref_pixels))
-                except codec.DecodeError:
-                    pass
-                rows.append({"image_id": row.image_id, "psnr": p, "pixels_equal": eq})
-            yield pd.DataFrame(rows)
+            a_px = _decode_rows(pdf["bytes"].to_numpy())
+            r_px = _decode_rows(pdf["ref_bytes"].to_numpy())
+            p = np.zeros(n, dtype=np.float64)
+            eq = np.zeros(n, dtype=bool)
+            by_shape: dict[tuple[int, int], list[int]] = {}
+            for i in range(n):
+                a, r = a_px[i], r_px[i]
+                # undecodable either side, or shape mismatch -> (0, False),
+                # identical to the scalar codec.decode/codec.psnr outcome
+                if a is not None and r is not None and a.shape == r.shape:
+                    by_shape.setdefault(a.shape, []).append(i)
+            for shape, idxs in by_shape.items():
+                g = len(idxs)
+                h, w = shape
+                A = _scratch("pv_a", (g, h, w), np.float64)
+                B = _scratch("pv_b", (g, h, w), np.float64)
+                for k, i in enumerate(idxs):
+                    np.copyto(A[k], a_px[i], casting="unsafe")
+                    np.copyto(B[k], r_px[i], casting="unsafe")
+                A -= B
+                np.multiply(A, A, out=A)
+                # per-row mean over the contiguous h*w block — the same
+                # reduction codec.psnr performs on one image
+                mse = A.reshape(g, h * w).mean(axis=1)
+                ii = np.array(idxs)
+                eq[ii] = mse == 0.0
+                with np.errstate(divide="ignore"):
+                    p[ii] = np.where(
+                        mse == 0.0, np.inf, 10.0 * np.log10(255.0 * 255.0 / mse)
+                    )
+            yield pd.DataFrame(
+                {"image_id": pdf["image_id"], "psnr": p, "pixels_equal": eq}
+            )
 
     return (
         joined.mapInPandas(run, PSNR_SCHEMA)

@@ -288,3 +288,90 @@ def test_jpeg_dct_roundtrip_psnr_above_40db():
     assert worst >= 40.0
     with pytest.raises(codec.DecodeError):
         codec.decode(codec.encode_jpeg(codec.synth_pixels(1, 1, 16, 16))[:-3])
+
+
+def test_decode_rows_matches_scalar_decode():
+    """The batched shape-grouped decode must be bit-identical to
+    codec.decode across all three codecs, and classify malformed rows the
+    same way (None <-> DecodeError)."""
+    import numpy as np
+
+    from approximate_anomaly_detection_in_data_streams_spark.operators.image_checks import (
+        _decode_rows,
+    )
+
+    payloads = []
+    for i in range(30):
+        px = codec.synth_pixels(99, i, 24 + (i % 3) * 8, 16 + (i % 2) * 8)
+        enc = [codec.encode_raw, codec.encode_qnt, codec.encode_jpeg][i % 3]
+        payloads.append(enc(px))
+    payloads += [None, b"", b"shrt", payloads[0][:10], b"XXXX" + payloads[1][4:]]
+    got = _decode_rows(np.array(payloads, dtype=object))
+    for v, g in zip(payloads, got):
+        try:
+            want = codec.decode(v) if v is not None else None
+        except codec.DecodeError:
+            want = None
+        if want is None:
+            assert g is None
+        else:
+            assert g is not None and np.array_equal(g, want)
+
+
+def test_full_disagreement_psnr_is_batched(spark):
+    """Adversarial corrupted reference snapshot: EVERY decode_ok row's
+    digest disagrees, routing the whole table through psnr_verify. The
+    batched kernel must classify every row exactly as the scalar
+    codec.decode/codec.psnr path would."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from approximate_anomaly_detection_in_data_streams_spark.operators.image_checks import (
+        PSNR_MIN_DB,
+        row_checks_and_features,
+    )
+    from approximate_anomaly_detection_in_data_streams_spark.sources.images import (
+        ImageTableConfig,
+        generate_images,
+        generate_reference,
+    )
+
+    cfg = ImageTableConfig(n=300, seed=31, partitions=4)
+    images = generate_images(spark, cfg)
+    # corrupt the reference: flip every ref_phash so no digest ever matches
+    reference = generate_reference(spark, cfg).withColumn(
+        "ref_phash", F.col("ref_phash") + F.lit(1)
+    )
+    checks = row_checks_and_features(images, reference).collect()
+    assert len(checks) == 300
+    # every decodable row went through the exact PSNR pass: psnr is real
+    # (not NaN) and pixels_ok reflects the >= 40 dB / equality invariant
+    img_rows = {r["image_id"]: r for r in images.collect()}
+    ref_rows = {}
+    for r in generate_reference(spark, cfg).collect():
+        # election: min (ref_phash, ref_caption, md5) — replicate worst-case
+        cur = ref_rows.get(r["image_id"])
+        key = (r["ref_phash"], r["ref_caption"])
+        if cur is None or key < cur[0]:
+            ref_rows[r["image_id"]] = (key, bytes(r["ref_bytes"]))
+    n_checked = 0
+    for row in checks:
+        if not row["decode_ok"]:
+            continue
+        n_checked += 1
+        assert not np.isnan(row["psnr"]), row["image_id"]
+        want_px = codec.decode(bytes(img_rows[row["image_id"]]["bytes"]))
+        ref_px = codec.decode(ref_rows[row["image_id"]][1])
+        want_psnr = codec.psnr(want_px, ref_px)
+        assert row["psnr"] == pytest.approx(want_psnr, abs=1e-9), row["image_id"]
+        lossless = row["fmt"] == "raw"
+        want_ok = (
+            bool(np.array_equal(want_px, ref_px))
+            if lossless
+            else want_psnr >= PSNR_MIN_DB
+        )
+        # dup image_ids share the worst-case psnr across claimants; only
+        # assert on unique ids for the exact per-row expectation
+        if sum(1 for r2 in checks if r2["image_id"] == row["image_id"]) == 1:
+            assert row["pixels_ok"] == want_ok, row["image_id"]
+    assert n_checked > 250
