@@ -469,17 +469,29 @@ SIMHASH_BITS = 60  # 15 md5 hex chars -> portable to the DuckDB oracle
 
 
 def simhash_signatures(
-    df: DataFrame, id_col: str, text_col: str, n: int = 3
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, hash_fn: str = "md5"
 ) -> DataFrame:
     """60-bit SimHash per document — MAP-ONLY (one mapInPandas scan).
 
     Bit b of the signature is 1 iff more of the document's distinct char
-    n-gram shingles hash with bit b set than not. The shingle hash is the
-    first 15 hex chars of md5 parsed as an integer — a *portable* hash
-    every engine implements identically (Python: hashlib.md5; Spark:
-    conv(substr(md5, 1, 15), 16, 10); DuckDB: ('0x' || substr)::bigint),
-    which is what lets the pigeonhole join carry an exact SQL oracle
-    (xxhash64 seeds are Spark-private).
+    n-gram shingles hash with bit b set than not. Two shingle-hash tiers:
+
+      * ``hash_fn="md5"`` (default, the oracle tier): first 15 hex chars
+        of md5 parsed as an integer — a *portable* hash every engine
+        implements identically (Python: hashlib.md5; Spark:
+        conv(substr(md5, 1, 15), 16, 10); DuckDB: ('0x' ||
+        substr)::bigint), which is what lets the pigeonhole join carry an
+        exact SQL oracle (xxhash64 seeds are Spark-private). Cost: a
+        per-shingle Python generator — linear and map-only, but it burns
+        Python CPU on every byte of the corpus.
+      * ``hash_fn="fast"`` (the production tier): shingles packed to
+        collision-free codepoint integers in NumPy (the minhash scheme,
+        n <= 3) and mixed with a vectorized splitmix64 — zero per-shingle
+        Python, ~20x less kernel CPU on long documents. A different (but
+        equally uniform) member of the hash family, so signatures differ
+        from the md5 tier while the hamming-distance GEOMETRY is
+        preserved (property-tested: identical docs -> distance 0, planted
+        near-dups collide under both tiers).
 
     Previous formulation exploded 1.5M (id, shingle) rows through a
     distinct and a 60-conditional-sum aggregation (two shuffles, ~8.7 s
@@ -487,6 +499,13 @@ def simhash_signatures(
     scan with zero shuffles — the shape that survives a 100 TB corpus.
     """
     import hashlib
+
+    if hash_fn not in ("md5", "fast"):
+        raise ValueError("hash_fn must be 'md5' or 'fast'")
+    if hash_fn == "fast" and n > 3:
+        raise ValueError("packed shingle ids support n <= 3")
+    MIX1, MIX2 = np.uint64(0xBF58476D1CE4E5B9), np.uint64(0x94D049BB133111EB)
+    MASK60 = np.uint64((1 << SIMHASH_BITS) - 1)
 
     def emit(batches):
         bit_idx = np.arange(SIMHASH_BITS, dtype=np.uint64)
@@ -502,15 +521,29 @@ def simhash_signatures(
             for i, t in enumerate(pdf["text"]):
                 if not t or len(t) < n:
                     continue
-                sh = {t[j : j + n] for j in range(len(t) - n + 1)}
-                hs = np.fromiter(
-                    (
-                        int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16)
-                        for s in sh
-                    ),
-                    dtype=np.int64,
-                )
-                bits = (hs[:, None].astype(np.uint64) >> bit_idx) & np.uint64(1)
+                if hash_fn == "md5":
+                    sh = {t[j : j + n] for j in range(len(t) - n + 1)}
+                    hs = np.fromiter(
+                        (
+                            int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16)
+                            for s in sh
+                        ),
+                        dtype=np.int64,
+                    ).astype(np.uint64)
+                else:
+                    cp = np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32)
+                    packed = np.zeros(len(cp) - n + 1, dtype=np.uint64)
+                    for j in range(n):
+                        packed = (packed << np.uint64(21)) | cp[
+                            j : len(cp) - n + 1 + j
+                        ].astype(np.uint64)
+                    with np.errstate(over="ignore"):
+                        hs = np.unique(packed)
+                        hs = (hs ^ (hs >> np.uint64(30))) * MIX1
+                        hs = (hs ^ (hs >> np.uint64(27))) * MIX2
+                        hs ^= hs >> np.uint64(31)
+                    hs &= MASK60
+                bits = (hs[:, None] >> bit_idx) & np.uint64(1)
                 s = 2 * bits.sum(axis=0).astype(np.int64) - len(hs)
                 out[i] = int(((s > 0) * weights).sum())
                 has_sig[i] = True
@@ -528,6 +561,7 @@ def simhash_neardup_pairs(
     max_hamming: int = 3,
     seed: int = 42,
     bucket_cap: int | None = 500,
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """Pairs with SimHash hamming distance <= max_hamming.
 
@@ -548,7 +582,7 @@ def simhash_neardup_pairs(
 
     pieces = max_hamming + 1
     width = SIMHASH_BITS // pieces
-    sig = simhash_signatures(df, id_col, text_col)
+    sig = simhash_signatures(df, id_col, text_col, hash_fn=hash_fn)
     piece_arr = F.array(
         *[
             F.struct(

@@ -103,10 +103,12 @@ def _digest_same_shape(
     means = flat_px.mean(axis=1)
     m2 = np.einsum("ij,ij->i", flat_px, flat_px) / (h * w)
     stds = np.sqrt(np.maximum(m2 - means * means, 0.0))
-    # per-image 8-bin histogram via one flat bincount (bin = pixel >> 5)
-    bins = _scratch("dg_bins", (n, h * w), np.int64)
+    # per-image 8-bin histogram via one flat bincount (bin = pixel >> 5);
+    # int32 indices: half the index traffic of int64 (n*8 < 2^31 holds for
+    # any realistic Arrow batch)
+    bins = _scratch("dg_bins", (n, h * w), np.int32)
     np.right_shift(mats.reshape(n, h * w), 5, out=bins, casting="unsafe")
-    bins += np.arange(n, dtype=np.int64)[:, None] * N_HIST_BINS
+    bins += np.arange(n, dtype=np.int32)[:, None] * N_HIST_BINS
     hist = np.bincount(bins.ravel(), minlength=n * N_HIST_BINS).reshape(
         n, N_HIST_BINS
     )
@@ -258,14 +260,17 @@ def decode_digests(images: DataFrame, ordinal_col: str | None = None) -> DataFra
                     w = int(ww[idxs[0]])
                     h = int(hh[idxs[0]])
                     try:
-                        pidx = _scratch("dd_pidx", (g, w * h), np.int64)
-                        np.add(
-                            (starts[idxs] + 8)[:, None],
-                            np.arange(w * h),
-                            out=pidx,
-                        )
+                        # per-row slice memcpy, NOT a fancy-index gather:
+                        # an int64 index matrix costs 8 bytes of index
+                        # traffic per 1-byte pixel (9x total bus traffic) —
+                        # on this bandwidth-starved guest VM that gather
+                        # was the hottest load in the decode kernel. The
+                        # g-iteration Python loop is pure memcpy (~1 us/row)
                         stack = _scratch("dd_stack", (g, h, w), np.uint8)
-                        np.take(data, pidx.reshape(g, h, w), out=stack)
+                        flat_dst = stack.reshape(g, h * w)
+                        for kk in range(g):
+                            st = starts[idxs[kk]] + 8
+                            flat_dst[kk] = data[st : st + w * h]
                         if magic_u32[idxs[0]] == _MAGIC_VALS[codec.MAGIC_QNT]:
                             t16 = _scratch("dd_u16", (g, h, w), np.uint16)
                             np.left_shift(
@@ -306,14 +311,12 @@ def decode_digests(images: DataFrame, ordinal_col: str | None = None) -> DataFra
                     pw, ph_ = int(pw8[idxs[0]]), int(phh8[idxs[0]])
                     npx = pw * ph_
                     try:
-                        pidx = _scratch("dd_pidx", (g, npx * 2), np.int64)
-                        np.add(
-                            (starts[idxs] + 8)[:, None],
-                            np.arange(npx * 2),
-                            out=pidx,
-                        )
+                        # per-row memcpy instead of an int64 gather — same
+                        # 9x-bus-traffic rationale as the raw/qnt path
                         raw = _scratch("dd_raw", (g, npx * 2), np.uint8)
-                        np.take(data, pidx, out=raw)
+                        for kk in range(g):
+                            st = starts[idxs[kk]] + 8
+                            raw[kk] = data[st : st + npx * 2]
                         coeffs = _scratch("dd_coef", (g, npx), np.float64)
                         np.multiply(
                             raw.view("<i2"), float(codec.JPEG_Q), out=coeffs

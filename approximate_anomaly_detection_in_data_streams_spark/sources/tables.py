@@ -14,6 +14,17 @@ Iceberg-specific behaviors in one place:
     min/max stats — both visible in .explain as PushedFilters;
   * column projection: ``columns`` keeps wide binary payloads out of
     scans that only need metadata.
+
+Runtime-jar status (checked each round): no ``iceberg-spark-runtime``
+jar exists anywhere in this sandbox (``find / -iname '*iceberg*'`` hits
+nothing), ``pyiceberg`` is not installed, and the container has no
+network (``pip download pyiceberg`` and Maven Central are both
+unreachable), so the Iceberg route of ``load_table`` cannot be
+integration-tested here. The seam is deliberately one function with the
+format string and snapshot option in one place; a production deployment
+adds ``--packages org.apache.iceberg:iceberg-spark-runtime-3.5_2.13``
+(or drops the jar in ``$SPARK_HOME/jars``) and
+``iceberg_available`` flips to True with no code change.
 """
 
 from __future__ import annotations

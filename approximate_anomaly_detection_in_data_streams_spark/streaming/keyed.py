@@ -66,7 +66,6 @@ def _keyed_func(cfg: DetectorConfig):
 
         det: SlideDetector = st["det"]
         S = cfg.slide
-        emitted: set = st.setdefault("emitted", set())
         # drain complete slides in order
         while not st["done"]:
             ids = list(range(st["next"], st["next"] + S))
@@ -98,12 +97,17 @@ def _keyed_func(cfg: DetectorConfig):
 
         # emit outliers recorded by expiry (or by the flush above) in THIS
         # trigger — streaming consumers see violations as soon as the
-        # semantics finalize them, not at end-of-stream
-        new_out = det._outliers - emitted
+        # semantics finalize them, not at end-of-stream. The recorded set
+        # and per-batch diagnostics are DRAINED from the pickled state:
+        # both grow monotonically with stream length, and carrying them
+        # would inflate the state blob every trigger even at a fixed
+        # window (state size must be bounded by W x dim + pending —
+        # asserted in tests/test_streaming.py::test_keyed_state_size_flat).
         rows = [
-            (key[0], "outlier", int(i)) for i in sorted(new_out)
+            (key[0], "outlier", int(i)) for i in sorted(det._outliers)
         ] + rows
-        emitted |= new_out
+        det._outliers.clear()
+        det.diagnostics.clear()
 
         state.update((pickle.dumps(st),))
         if rows:

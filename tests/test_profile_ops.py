@@ -375,3 +375,54 @@ def test_plan_build_runs_no_jobs(spark, sf_dir):
         sc.setJobGroup("done", "")
     jobs = sc.statusTracker().getJobIdsForGroup("plan-build")
     assert jobs == [], f"plan construction ran Spark jobs: {jobs}"
+
+
+def test_simhash_fast_tier_preserves_hamming_geometry(spark):
+    """The vectorized 'fast' shingle hash is a different member of the
+    hash family than the portable md5 tier, but the hamming GEOMETRY must
+    hold: identical docs at distance 0 (found as near-dups), distinct
+    random docs far apart (not found), and planted one-edit near-dups
+    overwhelmingly recovered under both tiers."""
+    import numpy as np
+
+    from approximate_anomaly_detection_in_data_streams_spark.operators import dedup
+
+    rng = np.random.default_rng(5)
+    vocab = [f"w{v}" for v in rng.integers(0, 10**9, size=5000)]
+    docs = []
+    for i in range(40):
+        toks = list(rng.choice(vocab, size=120))
+        base = " ".join(toks)
+        if i % 2 == 0:
+            variant = base  # exact duplicate
+        else:
+            toks2 = list(toks)
+            toks2[60] = "edited"  # one-token edit out of 120
+            variant = " ".join(toks2)
+        docs.append((2 * i, base))
+        docs.append((2 * i + 1, variant))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    def pairs(hash_fn):
+        return {
+            (r["id_a"], r["id_b"])
+            for r in dedup.simhash_neardup_pairs(
+                df, "doc_id", "text", max_hamming=3, hash_fn=hash_fn
+            ).collect()
+        }
+
+    got_md5 = pairs("md5")
+    got_fast = pairs("fast")
+    exact_dup_pairs = {(2 * i, 2 * i + 1) for i in range(40) if i % 2 == 0}
+    # identical docs hash to identical signatures under ANY shingle hash
+    assert exact_dup_pairs <= got_md5
+    assert exact_dup_pairs <= got_fast
+    # one-word-appended near-dups: most recovered under both tiers
+    near_pairs = {(2 * i, 2 * i + 1) for i in range(40) if i % 2 == 1}
+    assert len(near_pairs & got_md5) >= len(near_pairs) * 0.8
+    assert len(near_pairs & got_fast) >= len(near_pairs) * 0.8
+    # distinct random docs stay apart: found pairs are dominated by the
+    # planted structure under both tiers (no hash-degeneracy explosion)
+    planted = exact_dup_pairs | near_pairs
+    assert not (got_md5 - planted)
+    assert not (got_fast - planted)

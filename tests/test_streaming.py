@@ -163,3 +163,58 @@ def test_keyed_stream_resumes_from_checkpoint(spark, gauss2d, tmp_path):
     assert len(set(merged)) == len(merged)  # exactly-once across the restart
     for kk in ("n_only_inlier", "n_only_outlier", "n_both_inlier_outlier"):
         assert got2["a"][kk] == exp[kk]
+
+
+def test_keyed_state_size_flat():
+    """State-store blob size must be bounded by W x dim + pending — NOT
+    grow with stream length (recorded outliers and per-batch diagnostics
+    are drained each trigger). Drives the applyInPandasWithState function
+    directly with a fake state handle."""
+    import pickle
+
+    import numpy as np
+    import pandas as pd
+
+    from approximate_anomaly_detection_in_data_streams_spark.config import (
+        DetectorConfig,
+    )
+    from approximate_anomaly_detection_in_data_streams_spark.streaming.keyed import (
+        _keyed_func,
+    )
+
+    class FakeState:
+        def __init__(self):
+            self.blob = None
+
+        @property
+        def exists(self):
+            return self.blob is not None
+
+        @property
+        def get(self):
+            return (self.blob,)
+
+        def update(self, t):
+            self.blob = t[0]
+
+    cfg = DetectorConfig(w=100, slide=25, r=0.5, k=60)  # k high: many outliers
+    func = _keyed_func(cfg)
+    state = FakeState()
+    rng = np.random.default_rng(3)
+    sizes = []
+    n_out = 0
+    for trig in range(40):
+        ids = np.arange(trig * 25 + 1, trig * 25 + 26)
+        pdf = pd.DataFrame(
+            {
+                "id": ids,
+                "features": [rng.normal(size=4).tolist() for _ in ids],
+            }
+        )
+        for out in func(("k",), iter([pdf]), state):
+            n_out += (out["kind"] == "outlier").sum()
+        sizes.append(len(state.blob))
+    assert n_out > 100  # the stream really does record outliers steadily
+    # after the window fills (trigger >= 4), blob size must be flat
+    steady = sizes[5:]
+    assert max(steady) - min(steady) <= 0.1 * min(steady), sizes[:8] + sizes[-3:]
