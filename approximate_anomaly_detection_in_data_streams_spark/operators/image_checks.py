@@ -88,30 +88,40 @@ def _digest_same_shape(
         hash_mats = np.repeat(np.repeat(mats, ry, axis=1), rx, axis=2)
     _, hh_, ww_ = hash_mats.shape
     bh, bw = max(hh_ // grid, 1), max(ww_ // grid, 1)
-    trimmed = _scratch("dg_trim", (n, bh * grid, bw * grid), np.float64)
-    np.copyto(trimmed, hash_mats[:, : bh * grid, : bw * grid])
-    blocks = trimmed.reshape(n, grid, bh, grid, bw).mean(axis=(2, 4))
+    # Integer-domain block sums, NOT an n x h x w float64 copy: every
+    # partial sum of uint8 values stays an exact integer < 2^53, so
+    # sum/int-count division reproduces the old float64-mean path BIT FOR
+    # BIT while moving ~8x less memory (the guest's scarce resource —
+    # BENCH.md round-3 forensics).
+    trimmed = hash_mats[:, : bh * grid, : bw * grid]
+    block_sums = trimmed.reshape(n, grid, bh, grid, bw).sum(
+        axis=(2, 4), dtype=np.int64
+    )
+    blocks = block_sums / float(bh * bw)
     bits = blocks > blocks.mean(axis=(1, 2))[:, None, None]
     weights = (1 << np.arange(63, dtype=np.uint64))
     flat = bits.reshape(n, 64)[:, :63]
     phashes = (flat * weights).sum(axis=1).astype(np.int64)
 
-    # one float64 copy feeds mean, one-pass variance AND (as int bins) the
-    # histogram — all through scratch, no fresh n x h x w intermediates
-    flat_px = _scratch("dg_flat", (n, h * w), np.float64)
-    np.copyto(flat_px, mats.reshape(n, h * w))
-    means = flat_px.mean(axis=1)
-    m2 = np.einsum("ij,ij->i", flat_px, flat_px) / (h * w)
-    stds = np.sqrt(np.maximum(m2 - means * means, 0.0))
-    # per-image 8-bin histogram via one flat bincount (bin = pixel >> 5);
-    # int32 indices: half the index traffic of int64 (n*8 < 2^31 holds for
-    # any realistic Arrow batch)
+    # ONE 256-bin integer histogram per image feeds mean, variance AND the
+    # 8-bin feature histogram — exact-integer sums, so all three are
+    # bit-identical to the former float64 formulation (mean = sum/n,
+    # m2 = sumsq/n with sum, sumsq < 2^53)
     bins = _scratch("dg_bins", (n, h * w), np.int32)
-    np.right_shift(mats.reshape(n, h * w), 5, out=bins, casting="unsafe")
-    bins += np.arange(n, dtype=np.int32)[:, None] * N_HIST_BINS
-    hist = np.bincount(bins.ravel(), minlength=n * N_HIST_BINS).reshape(
-        n, N_HIST_BINS
+    np.add(
+        mats.reshape(n, h * w),
+        (np.arange(n, dtype=np.int32) * 256)[:, None],
+        out=bins,
+        casting="unsafe",
     )
+    hist256 = np.bincount(bins.ravel(), minlength=n * 256).reshape(n, 256)
+    v = np.arange(256, dtype=np.float64)
+    sums = hist256 @ v
+    sumsq = hist256 @ (v * v)
+    means = sums / (h * w)
+    m2 = sumsq / (h * w)
+    stds = np.sqrt(np.maximum(m2 - means * means, 0.0))
+    hist = hist256.reshape(n, N_HIST_BINS, 256 // N_HIST_BINS).sum(axis=2)
     hist = hist.astype(np.float64) * (128.0 / (h * w))
     feats = np.concatenate([means[:, None], stds[:, None], hist], axis=1)
     return phashes, feats, means

@@ -32,6 +32,16 @@ def get_spark(
     # (Workers inherit this env through the JVM -> daemon fork chain.)
     os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", "1073741824")
     os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", "1073741824")
+    # ...and route Arrow allocations through that hoarding glibc pool
+    # instead of the bundled jemalloc, whose purge/refault cycle is
+    # page-fault-bound on this guest REGARDLESS of core count (measured:
+    # alloc+touch+free of 8 MB buffers aggregates ~18-20 GB/s flat at
+    # 8-32 procs under jemalloc — even with decay disabled — vs
+    # 2271 GB/s @ 8 procs and 7044 GB/s @ 32 procs under the system pool,
+    # which reuses pages from freelists and therefore scales WITH procs).
+    # This was the dominant N->4N anti-scaling term: Arrow IPC read
+    # buffers and kernel outputs are freed and refaulted every batch.
+    os.environ.setdefault("ARROW_DEFAULT_MEMORY_POOL", "system")
     builder = (
         SparkSession.builder.master(f"local[{cores}]")
         .appName(app_name)
