@@ -105,25 +105,52 @@ def _counts_emit(
     ``c_arr`` bins the subset with neighbor id < owner id (arrival-moment
     counts, /root/reference/src/algorithms/MCOD.java:302-317).
     """
+    n = len(ids)
+    # Bin counts via ONE padded row-cumsum instead of per-bin mask scans:
+    # rows arrive sorted by id, and slide = (id-1)//S + 1 is monotone in
+    # id, so the columns belonging to neighbor-slide sj form a CONTIGUOUS
+    # range [lo(sj), hi(sj)) — each bin is then a difference of two
+    # cumsum gathers. The former formulation re-scanned the full boolean
+    # matrix 4x per bin (28 passes at ws=4); this one touches it twice
+    # (one cumsum per home/all variant), which matters because these
+    # masks, not the BLAS distances, dominated the kernel's memory
+    # traffic (BENCH.md round-3 forensics).
+    order = np.argsort(ids, kind="stable")
+    if not np.array_equal(order, np.arange(n)):
+        X, ids, slides, home = X[order], ids[order], slides[order], home[order]
     sq = np.einsum("ij,ij->i", X, X)
     n_bins = 2 * max_slide_gap + 1
     out: list[pd.DataFrame] = []
-    for start in range(0, len(ids), CHUNK):
-        rows = np.arange(start, min(start + CHUNK, len(ids)))
+    # column boundaries per bin offset: for row slide si, bin b covers
+    # sj = si + b - max_gap; with ids (hence slides) ascending, columns
+    # with slide == sj are slides[lo:hi]
+    bin_offsets = np.arange(n_bins) - max_slide_gap
+    # first position of each row's own id (strict ids[j] < ids[i] bound —
+    # NOT the row position: duplicate ids must exclude each other)
+    for start in range(0, n, CHUNK):
+        rows = np.arange(start, min(start + CHUNK, n))
+        m = len(rows)
         d2 = sq[rows, None] + sq[None, :] - 2.0 * (X[rows] @ X.T)
-        off = slides[None, :] - slides[rows, None] + max_slide_gap
-        mask = (d2 <= r2) & (off >= 0) & (off < n_bins)
-        mask[np.arange(len(rows)), rows] = False  # no self-pairs
-        guest_rows = ~home[rows]
-        if guest_rows.any():
-            mask[guest_rows] &= home[None, :]
-        arr_mask = mask & (ids[None, :] < ids[rows, None])
-        c = np.zeros((len(rows), n_bins), dtype=np.int64)
-        c_arr = np.zeros((len(rows), n_bins), dtype=np.int64)
+        msk = d2 <= r2
+        msk[np.arange(m), rows] = False  # no self-pairs
+        cs_all = np.zeros((m, n + 1), dtype=np.int32)
+        np.cumsum(msk, axis=1, out=cs_all[:, 1:], dtype=np.int32)
+        np.logical_and(msk, home[None, :], out=msk)
+        cs_home = np.zeros((m, n + 1), dtype=np.int32)
+        np.cumsum(msk, axis=1, out=cs_home[:, 1:], dtype=np.int32)
+        # guest rows count HOME neighbors only (their guest-guest pairs
+        # are home-home in the next block's group)
+        cs = np.where(home[rows, None], cs_all, cs_home)
+        fp = np.searchsorted(ids, ids[rows], side="left")
+        rr = np.arange(m)
+        c = np.empty((m, n_bins), dtype=np.int64)
+        c_arr = np.empty((m, n_bins), dtype=np.int64)
         for b in range(n_bins):
-            sel = off == b
-            c[:, b] = (mask & sel).sum(axis=1)
-            c_arr[:, b] = (arr_mask & sel).sum(axis=1)
+            sj = slides[rows] + bin_offsets[b]
+            lo = np.searchsorted(slides, sj, side="left")
+            hi = np.searchsorted(slides, sj, side="right")
+            c[:, b] = cs[rr, hi] - cs[rr, lo]
+            c_arr[:, b] = cs[rr, np.minimum(hi, fp)] - cs[rr, np.minimum(lo, fp)]
         ri, bi = np.nonzero(c)
         out.append(
             pd.DataFrame(
@@ -171,32 +198,56 @@ def exact_neighbor_counts(
         .where(F.col("g") >= 0)
     )
 
-    # partition-scan (mapInPandas over repartition+sort), not per-group
+    # partition-scan (mapInArrow over repartition+sort), not per-group
     # applyInPandas: a long stream has thousands of W-sized blocks and the
     # per-group Arrow round-trip overhead dominates the (small) per-block
     # math — one batch per partition amortizes it (same pattern as the
-    # LSH counts kernel and the MinHash band kernel)
+    # LSH counts kernel and the MinHash band kernel). mapInArrow rather
+    # than mapInPandas because the feature column reads as ONE flat
+    # float64 buffer reshaped (n, dim) — the pandas path materializes a
+    # per-row object ndarray (300k tiny arrays) that costs more than the
+    # distance math itself (measured ~8 s vs ~2 s at 300k x 12d).
     def emit(batches):
-        chunks = [c for c in batches if len(c)]
+        import pyarrow as pa
+
+        chunks = [b for b in batches if b.num_rows]
         if not chunks:
             return
-        pdf = pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else chunks[0]
-        g_arr = pdf["g"].to_numpy()
-        id_arr = pdf["id"].to_numpy()
+        tbl = pa.Table.from_batches(chunks)
+        if tbl.num_rows < 2:
+            return
+        g_arr = tbl.column("g").to_numpy(zero_copy_only=False)
+        id_arr = tbl.column("id").to_numpy(zero_copy_only=False)
+        slides_all = tbl.column("slide").to_numpy(zero_copy_only=False)
+        home_all = tbl.column("is_home").to_numpy(zero_copy_only=False)
+        feats = tbl.column("features").combine_chunks()
+        flat = feats.flatten().to_numpy(zero_copy_only=False)
+        offs = feats.offsets.to_numpy(zero_copy_only=False)
+        widths = np.diff(offs)
+        if len(widths) and (widths == widths[0]).all():
+            X_all = flat.reshape(len(widths), int(widths[0])).astype(
+                np.float64, copy=False
+            )
+        else:  # ragged features: fall back to per-row assembly
+            X_all = np.stack(
+                [flat[offs[i] : offs[i + 1]] for i in range(len(offs) - 1)]
+            ).astype(np.float64)
         order = np.lexsort((id_arr, g_arr))
         g_arr, id_arr = g_arr[order], id_arr[order]
-        slides_all = pdf["slide"].to_numpy()[order]
-        home_all = pdf["is_home"].to_numpy()[order]
-        feats_all = pdf["features"].to_numpy()[order]
+        slides_all = slides_all[order]
+        home_all = home_all[order]
+        X_all = X_all[order]
         bounds = np.flatnonzero(np.concatenate(([True], g_arr[1:] != g_arr[:-1])))
         bounds = np.append(bounds, len(g_arr))
         for b0, b1 in zip(bounds[:-1], bounds[1:]):
             if b1 - b0 < 2:
                 continue
-            X = np.stack(feats_all[b0:b1]).astype(np.float64)
-            yield _counts_emit(
-                X, id_arr[b0:b1], slides_all[b0:b1], home_all[b0:b1], r2, max_gap
+            out = _counts_emit(
+                X_all[b0:b1], id_arr[b0:b1], slides_all[b0:b1],
+                home_all[b0:b1], r2, max_gap,
             )
+            if len(out):
+                yield pa.RecordBatch.from_pandas(out, preserve_index=False)
 
     sp = int(
         points_with_slide.sparkSession.conf.get("spark.sql.shuffle.partitions", "64")
@@ -204,7 +255,7 @@ def exact_neighbor_counts(
     return (
         fanned.repartition(sp, "g")
         .sortWithinPartitions("g", "id")
-        .mapInPandas(emit, COUNT_SCHEMA)
+        .mapInArrow(emit, COUNT_SCHEMA)
     )
 
 
