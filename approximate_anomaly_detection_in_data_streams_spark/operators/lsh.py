@@ -319,20 +319,48 @@ def lsh_neighbor_counts(
     )
 
     def emit(batches):
-        chunks = [c for c in batches if len(c)]
-        if not chunks:
+        import pyarrow as pa
+
+        arrow_chunks = [b for b in batches if b.num_rows]
+        if not arrow_chunks:
             return
-        pdf = pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else chunks[0]
-        t_arr = pdf["t"].to_numpy()
-        key_arr = pdf["key"].to_numpy()
-        g_arr = pdf["g"].to_numpy()
-        order = np.lexsort((g_arr, key_arr, t_arr))
+        tbl = pa.Table.from_batches(arrow_chunks)
+
+        def flat_matrix(name: str, width_hint: int) -> np.ndarray:
+            col = tbl.column(name).combine_chunks()
+            flat = col.flatten().to_numpy(zero_copy_only=False)
+            offs = col.offsets.to_numpy(zero_copy_only=False)
+            widths = np.diff(offs)
+            if len(widths) and (widths == widths[0]).all():
+                return flat.reshape(len(widths), int(widths[0]))
+            return np.stack(  # ragged fallback (never for fixed dim/L*m)
+                [flat[offs[i] : offs[i + 1]] for i in range(len(offs) - 1)]
+            )
+
+        # flat-buffer reads: the exploded point table is n x L rows, and
+        # per-row list payloads (features, the L*m hash matrix) would
+        # otherwise materialize millions of tiny object ndarrays — the
+        # conversion, not the math, dominated this kernel (same finding
+        # as operators/pairs.py::exact_neighbor_counts)
+        feats_mat = flat_matrix("features", 0).astype(np.float64, copy=False)
+        hk_mat = flat_matrix("hk", L * m)
+        t_arr = tbl.column("t").to_numpy(zero_copy_only=False)
+        key_arr = tbl.column("key").to_numpy(zero_copy_only=False)
+        g_arr = tbl.column("g").to_numpy(zero_copy_only=False)
+        id_arr0 = tbl.column("id").to_numpy(zero_copy_only=False)
+        slide_arr0 = tbl.column("slide").to_numpy(zero_copy_only=False)
+        home_arr0 = tbl.column("home").to_numpy(zero_copy_only=False)
+        # sort by (t, key, g, id): groups contiguous AND rows id-ascending
+        # within each group, so slide (monotone in id) is sorted and each
+        # neighbor-slide bin is a contiguous column range (the cumsum
+        # trick — operators/pairs.py::_counts_emit)
+        order = np.lexsort((id_arr0, g_arr, key_arr, t_arr))
         t_arr, key_arr, g_arr = t_arr[order], key_arr[order], g_arr[order]
-        ids_all = pdf["id"].to_numpy()[order]
-        slides_all = pdf["slide"].to_numpy()[order]
-        home_all = pdf["home"].to_numpy()[order]
-        feats_all = pdf["features"].to_numpy()[order]
-        hk_all = pdf["hk"].to_numpy()[order]
+        ids_all = id_arr0[order]
+        slides_all = slide_arr0[order]
+        home_all = home_arr0[order]
+        feats_all = feats_mat[order]
+        hk_all = hk_mat[order]
         changed = (
             (t_arr[1:] != t_arr[:-1])
             | (key_arr[1:] != key_arr[:-1])
@@ -349,7 +377,7 @@ def lsh_neighbor_counts(
             ids = ids_all[b0:b1]
             slides = slides_all[b0:b1]
             home = home_all[b0:b1]
-            X = np.stack(feats_all[b0:b1]).astype(np.float64)
+            X = feats_all[b0:b1]
             # per-dimension (a-b)^2 accumulated left-to-right — the SAME
             # IEEE fold as lsh_neighbor_pairs' unrolled codegen predicate
             # and the DuckDB oracle. The Gram identity (sq_i + sq_j -
@@ -361,27 +389,41 @@ def lsh_neighbor_counts(
                 diff = X[:, d][:, None] - X[:, d][None, :]
                 D2 += diff * diff
             M = D2 <= r2
-            off = slides[None, :] - slides[:, None] + max_gap
-            M &= (off >= 0) & (off < n_bins)
-            M &= home[:, None] | home[None, :]
             M[np.arange(n), np.arange(n)] = False
             if t > 0:
-                K = np.stack(hk_all[b0:b1]).reshape(n, L, m)
-                dup = np.zeros((n, n), dtype=bool)
+                # min-table dedupe via per-table EXACT key-tuple labels:
+                # factorizing each earlier table's m-int key rows to one
+                # label (void-dtype unique — exact equality, no hashing)
+                # turns the m component-equality planes per table into ONE
+                # label plane (the former loop scanned t*m full planes)
+                K = hk_all[b0:b1].reshape(n, L, m)
+                eq = np.empty((n, n), dtype=bool)
                 for tp in range(t):
-                    eq = np.ones((n, n), dtype=bool)
-                    for r in range(m):
-                        col = K[:, tp, r]
-                        eq &= col[:, None] == col[None, :]
-                    dup |= eq
-                M &= ~dup
-            arr_M = M & (ids[None, :] < ids[:, None])
-            c = np.zeros((n, n_bins), dtype=np.int64)
-            c_arr = np.zeros((n, n_bins), dtype=np.int64)
+                    rows = np.ascontiguousarray(K[:, tp, :])
+                    void = rows.view([("", rows.dtype)] * m).ravel()
+                    _, labels = np.unique(void, return_inverse=True)
+                    np.not_equal(labels[:, None], labels[None, :], out=eq)
+                    M &= eq
+            # bin counts by contiguous slide ranges: two padded cumsums
+            # (all / home-only columns), guest rows read the home-only one
+            cs_all = np.zeros((n, n + 1), dtype=np.int32)
+            np.cumsum(M, axis=1, out=cs_all[:, 1:], dtype=np.int32)
+            np.logical_and(M, home[None, :], out=M)
+            cs_home = np.zeros((n, n + 1), dtype=np.int32)
+            np.cumsum(M, axis=1, out=cs_home[:, 1:], dtype=np.int32)
+            cs = np.where(home[:, None], cs_all, cs_home)
+            fp = np.searchsorted(ids, ids, side="left")
+            rr = np.arange(n)
+            c = np.empty((n, n_bins), dtype=np.int64)
+            c_arr = np.empty((n, n_bins), dtype=np.int64)
             for b in range(n_bins):
-                sel = off == b
-                c[:, b] = (M & sel).sum(axis=1)
-                c_arr[:, b] = (arr_M & sel).sum(axis=1)
+                sj = slides + (b - max_gap)
+                lo = np.searchsorted(slides, sj, side="left")
+                hi = np.searchsorted(slides, sj, side="right")
+                c[:, b] = cs[rr, hi] - cs[rr, lo]
+                c_arr[:, b] = (
+                    cs[rr, np.minimum(hi, fp)] - cs[rr, np.minimum(lo, fp)]
+                )
             ri, bi = np.nonzero(c)
             out.append(
                 pd.DataFrame(
@@ -395,7 +437,9 @@ def lsh_neighbor_counts(
                 )
             )
         if out:
-            yield pd.concat(out, ignore_index=True)
+            yield pa.RecordBatch.from_pandas(
+                pd.concat(out, ignore_index=True), preserve_index=False
+            )
 
     sp = int(
         points_with_slide.sparkSession.conf.get("spark.sql.shuffle.partitions", "64")
@@ -403,7 +447,7 @@ def lsh_neighbor_counts(
     binned = (
         fanned.repartition(sp, "t", "key", "g")
         .sortWithinPartitions("t", "key", "g")
-        .mapInPandas(emit, "i long, slide_i long, slide_j long, c long, c_arr long")
+        .mapInArrow(emit, "i long, slide_i long, slide_j long, c long, c_arr long")
     )
     return binned.groupBy("i", "slide_i", "slide_j").agg(
         F.sum("c").alias("c"), F.sum("c_arr").alias("c_arr")
