@@ -309,20 +309,28 @@ def minhash_lsh_pairs(
         "id", "sig", "band", "bh", "bi", F.explode(block_pairs).alias("t")
     ).select("id", "sig", "band", "bh", "bi", "t.lo", "t.hi")
 
-    def emit(batches) -> "pd.DataFrame":
-        chunks = [c for c in batches if len(c)]
+    def emit(batches):
+        import pyarrow as pa
+
+        chunks = [b for b in batches if b.num_rows]
         if not chunks:
             return
-        pdf = pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else chunks[0]
-        band = pdf["band"].to_numpy()
-        bh = pdf["bh"].to_numpy()
-        lo = pdf["lo"].to_numpy()
-        hi = pdf["hi"].to_numpy()
+        tbl = pa.Table.from_batches(chunks)
+        band = tbl.column("band").to_numpy(zero_copy_only=False)
+        bh = tbl.column("bh").to_numpy(zero_copy_only=False)
+        lo = tbl.column("lo").to_numpy(zero_copy_only=False)
+        hi = tbl.column("hi").to_numpy(zero_copy_only=False)
         order = np.lexsort((hi, lo, bh, band))
         band, bh, lo, hi = band[order], bh[order], lo[order], hi[order]
-        ids_all = pdf["id"].to_numpy()[order]
-        bi_all = pdf["bi"].to_numpy()[order]
-        sigs_all = pdf["sig"].to_numpy()[order]
+        ids_all = tbl.column("id").to_numpy(zero_copy_only=False)[order]
+        bi_all = tbl.column("bi").to_numpy(zero_copy_only=False)[order]
+        # signatures as ONE flat int64 buffer reshaped (n, num_perm) — the
+        # pandas path materialized a quarter-million per-row object arrays
+        # and then copied them row-by-row into the kernel buffer (measured:
+        # that conversion, not the agreement math, dominated the kernel)
+        sig_col = tbl.column("sig").combine_chunks()
+        sigs_flat = sig_col.flatten().to_numpy(zero_copy_only=False)
+        sigs_all = sigs_flat.reshape(len(band), num_perm)[order]
         changed = (
             (band[1:] != band[:-1])
             | (bh[1:] != bh[:-1])
@@ -334,27 +342,34 @@ def minhash_lsh_pairs(
         # preallocated scratch reused across groups: per-group fresh
         # allocation of the m x m planes would churn gigabytes
         max_m = int((bounds[1:] - bounds[:-1]).max())
-        S_buf = np.empty((max_m, num_perm), dtype=np.int64)
+        CH = 64  # rows per 3-D agreement chunk (CH x max_m x num_perm bool)
         agree = np.empty((max_m, max_m), dtype=np.int16)
         eq = np.empty((max_m, max_m), dtype=bool)
+        eq3 = np.empty((CH, max_m, num_perm), dtype=bool)
+
+        def agreement(A: np.ndarray, B: np.ndarray, out: np.ndarray) -> np.ndarray:
+            """out[i, j] = #perms where A[i] == B[j] — chunked 3-D compare
+            with ONE sum-reduce pass, instead of num_perm separate m x m
+            read-modify-write plane passes (the former hot loop: ~96
+            passes per template-bucket block pair)."""
+            ma, mb = len(A), len(B)
+            for r0 in range(0, ma, CH):
+                r1 = min(r0 + CH, ma)
+                buf = eq3[: r1 - r0, :mb]
+                np.equal(A[r0:r1, None, :], B[None, :, :], out=buf)
+                buf.sum(axis=2, dtype=np.int16, out=out[r0:r1, :mb])
+            return out[:ma, :mb]
+
         out_a, out_b = [], []
         for b0, b1 in zip(bounds[:-1], bounds[1:]):
             m = b1 - b0
             if m < 2:
                 continue
             ids = ids_all[b0:b1]
-            sigs = sigs_all[b0:b1]
-            S = S_buf[:m]
-            for j in range(m):
-                S[j] = sigs[j]
+            S = sigs_all[b0:b1]
             if lo[b0] == hi[b0]:
-                a = agree[:m, :m]
+                a = agreement(S, S, agree)
                 e = eq[:m, :m]
-                a[:] = 0
-                for p in range(num_perm):
-                    col = S[:, p]
-                    np.equal(col[:, None], col[None, :], out=e)
-                    a += e
                 np.less(ids[:, None], ids[None, :], out=e)
                 np.logical_and(a >= cut * num_perm, e, out=e)
                 ai, bj = np.nonzero(e)
@@ -366,22 +381,18 @@ def minhash_lsh_pairs(
                 ma, mb = len(xi), len(yi)
                 if ma == 0 or mb == 0:
                     continue
-                a = agree[:ma, :mb]
-                e = eq[:ma, :mb]
-                a[:] = 0
-                for p in range(num_perm):
-                    np.equal(
-                        S[xi, p][:, None], S[yi, p][None, :], out=e
-                    )
-                    a += e
+                a = agreement(S[xi], S[yi], agree)
                 ai, bj = np.nonzero(a >= cut * num_perm)
                 u, v = ids[xi][ai], ids[yi][bj]
                 ia, ib = np.minimum(u, v), np.maximum(u, v)
             out_a.append(ia)
             out_b.append(ib)
         if out_a:
-            yield pd.DataFrame(
-                {"id_a": np.concatenate(out_a), "id_b": np.concatenate(out_b)}
+            yield pa.RecordBatch.from_pandas(
+                pd.DataFrame(
+                    {"id_a": np.concatenate(out_a), "id_b": np.concatenate(out_b)}
+                ),
+                preserve_index=False,
             )
 
     if n > 3:
@@ -442,7 +453,7 @@ def minhash_lsh_pairs(
     cand = (
         fanned.repartition(int(sp), "band", "bh", "lo", "hi")
         .sortWithinPartitions("band", "bh", "lo", "hi")
-        .mapInPandas(emit, "id_a long, id_b long")
+        .mapInArrow(emit, "id_a long, id_b long")
         .distinct()  # dedupe across bands/blocks; also balances the verify input
     )
     # Distributed exact verify: texts join the candidates by bare long id
