@@ -29,8 +29,10 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 BENCH_DIR = os.environ.get("AADS_BENCH_DIR", "/tmp/aads_bench")
 IMG_N = int(os.environ.get("AADS_BENCH_IMG_N", "100000"))
 # best-of-N per query: the shared host swings same-code walls 1.3-4.5x
-# between phases (BENCH.md); min-of-2 measures the engine, not the noise
-REPS = int(os.environ.get("AADS_BENCH_REPS", "2"))
+# between phases, and r3's ABBA measurement shows identical configs
+# alternating 2.3x (BENCH.md) — min-of-3 measures the engine, not the
+# noise (best-of-2 still occasionally catches two slow samples)
+REPS = int(os.environ.get("AADS_BENCH_REPS", "3"))
 
 # Headline set: detector core (exact + LSH), validator profile, dedup,
 # similarity search, text analysis. Names match __spark_entry__.queries().
@@ -93,21 +95,37 @@ def _image_validation_throughput(spark) -> float:
     reference.count()
 
     vcfg = ImageValidatorConfig(drift=DetectorConfig(w=400, slide=100, r=40.0, k=6))
-    t0 = time.perf_counter()
-    report = validate_images(images, reference, vcfg)
-    report.row_checks.count()
-    report.features.count()
-    sinks = [
-        report.partition_stats,
-        report.uniqueness,
-        report.phash_dups,
-        report.violations,
-        report.drift_slides,
-        report.partition_verdicts,
-    ]
-    with ThreadPoolExecutor(max_workers=len(sinks)) as pool:
-        list(pool.map(lambda df: df.write.format("noop").mode("overwrite").save(), sinks))
-    return IMG_N / (time.perf_counter() - t0)
+    best = float("inf")
+    # best-of-REPS like the per-query timings: identical validation runs
+    # alternate ~2.3x with host phase (BENCH.md ABBA measurement), and
+    # min-of-N measures the engine rather than the phase
+    for _ in range(max(REPS, 1)):
+        t0 = time.perf_counter()
+        report = validate_images(images, reference, vcfg)
+        report.row_checks.count()
+        report.features.count()
+        sinks = [
+            report.partition_stats,
+            report.uniqueness,
+            report.phash_dups,
+            report.violations,
+            report.drift_slides,
+            report.partition_verdicts,
+        ]
+        with ThreadPoolExecutor(max_workers=len(sinks)) as pool:
+            list(
+                pool.map(
+                    lambda df: df.write.format("noop").mode("overwrite").save(), sinks
+                )
+            )
+        best = min(best, time.perf_counter() - t0)
+        # release this rep's persisted stages so the next rep measures
+        # genuine compute (and memory does not accumulate). clearCache
+        # (not a derived-DF unpersist) because the persisted node is the
+        # internal `combined` stage; the headline queries have already
+        # finished by this point, so nothing else relies on the cache.
+        spark.catalog.clearCache()
+    return IMG_N / best
 
 
 def main() -> None:
