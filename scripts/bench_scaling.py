@@ -107,7 +107,9 @@ def run_one(cores: int, img_path: str, ref_path: str) -> None:
     # materialize the shared persisted stages exactly once before fanning
     # out sinks — concurrent first-touch would compute them redundantly
     report.row_checks.count()
+    t_checks = time.perf_counter()
     report.features.count()
+    t_feats = time.perf_counter()
     sinks = [
         report.partition_stats,
         report.uniqueness,
@@ -122,17 +124,32 @@ def run_one(cores: int, img_path: str, ref_path: str) -> None:
                 lambda df: df.write.format("noop").mode("overwrite").save(), sinks
             )
         )
-    wall = time.perf_counter() - t0
+    t1 = time.perf_counter()
     spark.stop()
-    print(json.dumps({"wall": wall}))
+    print(
+        json.dumps(
+            {
+                "wall": t1 - t0,
+                # stage attribution: decode+digest+ref-join+psnr-verify wall
+                # vs the post-persist sink fan-out (detector, drift, stats,
+                # uniqueness, verdicts) — lets scaling losses be localized
+                "wall_row_checks": t_checks - t0,
+                "wall_features": t_feats - t_checks,
+                "wall_sinks": t1 - t_feats,
+            }
+        )
+    )
 
 
-def pinned_run(cores: int, img_path: str, ref_path: str, reps: int = 2) -> float:
+def pinned_run(
+    cores: int, img_path: str, ref_path: str, reps: int = 2
+) -> dict[str, float]:
     """Best-of-``reps``: the shared guest host has bursty interference
     (measured 2x wall variance on identical configs), and min-of-N is the
-    standard way to measure the machine rather than the noise."""
+    standard way to measure the machine rather than the noise. Returns the
+    per-stage walls of the best (min total) rep."""
     cpus = f"0-{cores - 1}"
-    walls = []
+    runs = []
     for _ in range(reps):
         out = subprocess.run(
             [
@@ -141,8 +158,10 @@ def pinned_run(cores: int, img_path: str, ref_path: str, reps: int = 2) -> float
             ],
             capture_output=True, text=True, check=True,
         )
-        walls.append(json.loads(out.stdout.strip().splitlines()[-1])["wall"])
-    return min(walls)
+        rec = json.loads(out.stdout.strip().splitlines()[-1])
+        runs.append(rec)
+        print(json.dumps({"cores": cores, **{k: round(v, 2) for k, v in rec.items()}}))
+    return min(runs, key=lambda r: r["wall"])
 
 
 def main() -> None:
@@ -151,18 +170,22 @@ def main() -> None:
         return
     n = 300_000
     lo, hi = 8, 32
+    reps = 2
     for a in sys.argv[1:]:
         if a == "--quick":
             n = 40_000
         elif a.startswith("--pair="):
             lo, hi = (int(x) for x in a.split("=")[1].split(","))
+        elif a.startswith("--reps="):
+            reps = int(a.split("=")[1])
         elif a.isdigit():
             n = int(a)
     os.makedirs(WORKDIR, exist_ok=True)
     img_path, ref_path = materialize(n)
 
-    t_lo = pinned_run(lo, img_path, ref_path)
-    t_hi = pinned_run(hi, img_path, ref_path)
+    best_lo = pinned_run(lo, img_path, ref_path, reps)
+    best_hi = pinned_run(hi, img_path, ref_path, reps)
+    t_lo, t_hi = best_lo["wall"], best_hi["wall"]
     thr_lo = n / t_lo
     thr_hi = n / t_hi
     factor = hi / lo
@@ -177,6 +200,18 @@ def main() -> None:
         "speedup": round(t_lo / t_hi, 2),
         "scaling_efficiency": round(eff, 3),
         "target": ">= 0.8",
+        "stages": {
+            stage: {
+                f"{lo}cpu": round(best_lo[f"wall_{stage}"], 2),
+                f"{hi}cpu": round(best_hi[f"wall_{stage}"], 2),
+                "efficiency": round(
+                    best_lo[f"wall_{stage}"]
+                    / (factor * best_hi[f"wall_{stage}"]),
+                    3,
+                ),
+            }
+            for stage in ("row_checks", "features", "sinks")
+        },
     }
     print(json.dumps(result))
     with open("BENCH.md", "a") as fh:
