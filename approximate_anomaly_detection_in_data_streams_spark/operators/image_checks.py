@@ -13,6 +13,7 @@ phash matches recomputed phash).
 
 from __future__ import annotations
 
+import os
 from typing import Iterator
 
 import numpy as np
@@ -133,33 +134,10 @@ _MAGIC_VALS = {
 }
 
 
-def decode_digests(images: DataFrame, ordinal_col: str | None = None) -> DataFrame:
-    """Map-only decode pass: structural checks + perceptual digest +
-    drift features per row. The heavy ``bytes`` column NEVER shuffles —
-    this stage runs on the scan partitions and only its (tiny) digest rows
-    flow downstream. This is the load-bearing dataflow decision for the
-    10^12-row shape: one decode, zero byte-shuffles.
-
-    Runs as ``mapInArrow``: the binary column is consumed directly from
-    the Arrow buffers (offsets + one contiguous data buffer) — no Python
-    bytes objects, no pandas conversion. Header fields parse as one
-    vectorized gather; same-shape groups digest as one 3-D NumPy stack for
-    every codec (raw/qnt payload view, jpeg whole-group inverse DCT).
-    """
+def _digest_out_schema():
     import pyarrow as pa
 
-    df = images
-    if ordinal_col is None:
-        df = df.withColumn(
-            "_ord", F.regexp_extract("image_id", r"(\d+)$", 1).cast("long")
-        )
-        ordinal_col = "_ord"
-    df = df.select(
-        "image_id", "bytes", "w", "h", "fmt", "caption", "phash",
-        F.col(ordinal_col).alias("ordinal"),
-    )
-
-    out_schema = pa.schema(
+    return pa.schema(
         [
             ("image_id", pa.string()),
             ("fmt", pa.string()),
@@ -177,229 +155,338 @@ def decode_digests(images: DataFrame, ordinal_col: str | None = None) -> DataFra
         ]
     )
 
-    def run(batches):
-        for rb in batches:
-            n = rb.num_rows
-            if not n:
-                continue
-            cols = {name: rb.column(i) for i, name in enumerate(rb.schema.names)}
-            bin_arr = cols["bytes"]
-            if isinstance(bin_arr, pa.ChunkedArray):  # defensive
-                bin_arr = bin_arr.combine_chunks()
-            # raw arrow buffers: validity, int32 offsets, data
-            off_buf = np.frombuffer(bin_arr.buffers()[1], dtype=np.int32)
-            arr_off = bin_arr.offset
-            offsets = off_buf[arr_off : arr_off + n + 1].astype(np.int64)
-            data_buf = bin_arr.buffers()[2]
-            # all-empty/all-null batches carry a None or zero-length data
-            # buffer; pad to >= 8 bytes so the clamped header gather below
-            # stays in-bounds (those rows fail has_header and become row
-            # verdicts, not IndexErrors)
-            data = (
-                np.frombuffer(data_buf, dtype=np.uint8)
-                if data_buf is not None
-                else np.zeros(0, dtype=np.uint8)
-            )
-            if len(data) < 8:
-                data = np.concatenate([data, np.zeros(8 - len(data), np.uint8)])
-            lengths = offsets[1:] - offsets[:-1]
-            # null bytes rows: consult the validity bitmap — offsets of null
-            # slots are unspecified, so mask them out before any gather
-            null_mask = np.zeros(n, dtype=bool)
-            if bin_arr.null_count:
-                null_mask = bin_arr.is_null().to_numpy(zero_copy_only=False)
-                lengths = np.where(null_mask, 0, lengths)
 
-            meta_w = cols["w"].to_numpy(zero_copy_only=False).astype(np.int64)
-            meta_h = cols["h"].to_numpy(zero_copy_only=False).astype(np.int64)
-            stored_phash = cols["phash"].to_numpy(zero_copy_only=False)
+def _digest_kernel(batches):
+    """The decode+digest Arrow kernel shared by ``decode_digests`` (JVM
+    scan feeds mapInArrow) and ``decode_digests_parquet`` (payload-local
+    scan). Input batches carry columns (image_id, bytes, w, h, fmt,
+    caption, phash, ordinal); output matches DIGEST_SCHEMA."""
+    import pyarrow as pa
 
-            decode_ok = np.ones(n, dtype=bool)
-            dims_ok = np.ones(n, dtype=bool)
-            phash_dec = np.full(n, -1, dtype=np.int64)
-            feat_mat = np.full((n, 2 + N_HIST_BINS), np.nan)
-            reason_code = np.zeros(n, dtype=np.int8)  # 0 ok, 1 header, 2 size, 3 magic
+    out_schema = _digest_out_schema()
+    for rb in batches:
+        n = rb.num_rows
+        if not n:
+            continue
+        cols = {name: rb.column(i) for i, name in enumerate(rb.schema.names)}
+        bin_arr = cols["bytes"]
+        if isinstance(bin_arr, pa.ChunkedArray):  # defensive
+            bin_arr = bin_arr.combine_chunks()
+        # raw arrow buffers: validity, int32 offsets, data
+        off_buf = np.frombuffer(bin_arr.buffers()[1], dtype=np.int32)
+        arr_off = bin_arr.offset
+        offsets = off_buf[arr_off : arr_off + n + 1].astype(np.int64)
+        data_buf = bin_arr.buffers()[2]
+        # all-empty/all-null batches carry a None or zero-length data
+        # buffer; pad to >= 8 bytes so the clamped header gather below
+        # stays in-bounds (those rows fail has_header and become row
+        # verdicts, not IndexErrors)
+        data = (
+            np.frombuffer(data_buf, dtype=np.uint8)
+            if data_buf is not None
+            else np.zeros(0, dtype=np.uint8)
+        )
+        if len(data) < 8:
+            data = np.concatenate([data, np.zeros(8 - len(data), np.uint8)])
+        lengths = offsets[1:] - offsets[:-1]
+        # null bytes rows: consult the validity bitmap — offsets of null
+        # slots are unspecified, so mask them out before any gather
+        null_mask = np.zeros(n, dtype=bool)
+        if bin_arr.null_count:
+            null_mask = bin_arr.is_null().to_numpy(zero_copy_only=False)
+            lengths = np.where(null_mask, 0, lengths)
 
-            has_header = lengths >= 8
-            reason_code[~has_header] = 1
-            reason_code[null_mask] = 5
-            starts = offsets[:-1]
-            hidx = starts[:, None] + np.arange(8)
-            hdr = np.where(has_header[:, None], hidx, 0)
-            headers = data[hdr]  # (n, 8)
-            magic_u32 = headers[:, :4].copy().view("<u4").ravel().astype(np.int64)
-            ww = headers[:, 4].astype(np.int64) | (headers[:, 5].astype(np.int64) << 8)
-            hh = headers[:, 6].astype(np.int64) | (headers[:, 7].astype(np.int64) << 8)
+        meta_w = cols["w"].to_numpy(zero_copy_only=False).astype(np.int64)
+        meta_h = cols["h"].to_numpy(zero_copy_only=False).astype(np.int64)
+        stored_phash = cols["phash"].to_numpy(zero_copy_only=False)
 
-            is_rawq = has_header & (
-                (magic_u32 == _MAGIC_VALS[codec.MAGIC_RAW])
-                | (magic_u32 == _MAGIC_VALS[codec.MAGIC_QNT])
-            )
-            is_jpeg = has_header & (magic_u32 == _MAGIC_VALS[codec.MAGIC_JPEG])
-            bad_magic = has_header & ~is_rawq & ~is_jpeg
-            reason_code[bad_magic] = 3
-            plausible = (ww > 0) & (hh > 0) & (ww <= 16384) & (hh <= 16384)
-            size_ok = lengths - 8 == ww * hh
-            bad_size = is_rawq & (~plausible | ~size_ok)
-            reason_code[bad_size] = 2
-            good_rawq = is_rawq & plausible & size_ok
-            # jpeg payload: int16 DCT coefficients of the 8-padded dims
-            pw8 = ((ww + 7) // 8) * 8
-            phh8 = ((hh + 7) // 8) * 8
-            jsize_ok = lengths - 8 == pw8 * phh8 * 2
-            bad_jsize = is_jpeg & (~plausible | ~jsize_ok)
-            reason_code[bad_jsize] = 2
-            good_jpeg = is_jpeg & plausible & jsize_ok
+        decode_ok = np.ones(n, dtype=bool)
+        dims_ok = np.ones(n, dtype=bool)
+        phash_dec = np.full(n, -1, dtype=np.int64)
+        feat_mat = np.full((n, 2 + N_HIST_BINS), np.nan)
+        reason_code = np.zeros(n, dtype=np.int8)  # 0 ok, 1 header, 2 size, 3 magic
 
-            failed = ~has_header | bad_magic | bad_size | bad_jsize
-            decode_ok[failed] = False
-            dims_ok[failed] = False
+        has_header = lengths >= 8
+        reason_code[~has_header] = 1
+        reason_code[null_mask] = 5
+        starts = offsets[:-1]
+        hidx = starts[:, None] + np.arange(8)
+        hdr = np.where(has_header[:, None], hidx, 0)
+        headers = data[hdr]  # (n, 8)
+        magic_u32 = headers[:, :4].copy().view("<u4").ravel().astype(np.int64)
+        ww = headers[:, 4].astype(np.int64) | (headers[:, 5].astype(np.int64) << 8)
+        hh = headers[:, 6].astype(np.int64) | (headers[:, 7].astype(np.int64) << 8)
 
-            # group good raw/qnt rows by (magic, w, h) and digest as stacks
-            if good_rawq.any():
-                gi = np.flatnonzero(good_rawq)
-                key = (magic_u32[gi] << 34) | (ww[gi] << 17) | hh[gi]
-                order = np.argsort(key, kind="stable")
-                gi = gi[order]
-                key = key[order]
-                bounds = np.flatnonzero(np.concatenate(([True], key[1:] != key[:-1])))
-                bounds = np.append(bounds, len(gi))
-                for b0, b1 in zip(bounds[:-1], bounds[1:]):
-                    idxs = gi[b0:b1]
-                    g = len(idxs)
-                    w = int(ww[idxs[0]])
-                    h = int(hh[idxs[0]])
-                    try:
-                        # per-row slice memcpy, NOT a fancy-index gather:
-                        # an int64 index matrix costs 8 bytes of index
-                        # traffic per 1-byte pixel (9x total bus traffic) —
-                        # on this bandwidth-starved guest VM that gather
-                        # was the hottest load in the decode kernel. The
-                        # g-iteration Python loop is pure memcpy (~1 us/row)
-                        stack = _scratch("dd_stack", (g, h, w), np.uint8)
-                        flat_dst = stack.reshape(g, h * w)
-                        for kk in range(g):
-                            st = starts[idxs[kk]] + 8
-                            flat_dst[kk] = data[st : st + w * h]
-                        if magic_u32[idxs[0]] == _MAGIC_VALS[codec.MAGIC_QNT]:
-                            t16 = _scratch("dd_u16", (g, h, w), np.uint16)
-                            np.left_shift(
-                                stack, codec.QNT_SHIFT, out=t16,
-                                casting="unsafe",
-                            )
-                            t16 += 1 << (codec.QNT_SHIFT - 1)
-                            np.minimum(t16, 255, out=t16)
-                            np.copyto(stack, t16, casting="unsafe")
-                        ph, fv, _ = _digest_same_shape(stack)
-                    except Exception:
-                        # malformed-but-plausible group: a row verdict,
-                        # never a task failure (module contract)
-                        decode_ok[idxs] = False
-                        dims_ok[idxs] = False
-                        reason_code[idxs] = 4
-                        continue
-                    phash_dec[idxs] = ph
-                    dims_ok[idxs] = (meta_h[idxs] == h) & (meta_w[idxs] == w)
-                    feat_mat[idxs] = fv
+        is_rawq = has_header & (
+            (magic_u32 == _MAGIC_VALS[codec.MAGIC_RAW])
+            | (magic_u32 == _MAGIC_VALS[codec.MAGIC_QNT])
+        )
+        is_jpeg = has_header & (magic_u32 == _MAGIC_VALS[codec.MAGIC_JPEG])
+        bad_magic = has_header & ~is_rawq & ~is_jpeg
+        reason_code[bad_magic] = 3
+        plausible = (ww > 0) & (hh > 0) & (ww <= 16384) & (hh <= 16384)
+        size_ok = lengths - 8 == ww * hh
+        bad_size = is_rawq & (~plausible | ~size_ok)
+        reason_code[bad_size] = 2
+        good_rawq = is_rawq & plausible & size_ok
+        # jpeg payload: int16 DCT coefficients of the 8-padded dims
+        pw8 = ((ww + 7) // 8) * 8
+        phh8 = ((hh + 7) // 8) * 8
+        jsize_ok = lengths - 8 == pw8 * phh8 * 2
+        bad_jsize = is_jpeg & (~plausible | ~jsize_ok)
+        reason_code[bad_jsize] = 2
+        good_jpeg = is_jpeg & plausible & jsize_ok
 
-            # jpeg rows: same shape-grouped stack strategy, with the
-            # block-DCT inverse vectorized across the whole group
-            if good_jpeg.any():
-                gi = np.flatnonzero(good_jpeg)
-                key = (ww[gi] << 17) | hh[gi]
-                order = np.argsort(key, kind="stable")
-                gi = gi[order]
-                key = key[order]
-                bounds = np.flatnonzero(np.concatenate(([True], key[1:] != key[:-1])))
-                bounds = np.append(bounds, len(gi))
-                D = codec._DCT8
-                for b0, b1 in zip(bounds[:-1], bounds[1:]):
-                    idxs = gi[b0:b1]
-                    g = len(idxs)
-                    w = int(ww[idxs[0]])
-                    h = int(hh[idxs[0]])
-                    pw, ph_ = int(pw8[idxs[0]]), int(phh8[idxs[0]])
-                    npx = pw * ph_
-                    try:
-                        # per-row memcpy instead of an int64 gather — same
-                        # 9x-bus-traffic rationale as the raw/qnt path
-                        raw = _scratch("dd_raw", (g, npx * 2), np.uint8)
-                        for kk in range(g):
-                            st = starts[idxs[kk]] + 8
-                            raw[kk] = data[st : st + npx * 2]
-                        coeffs = _scratch("dd_coef", (g, npx), np.float64)
-                        np.multiply(
-                            raw.view("<i2"), float(codec.JPEG_Q), out=coeffs
-                        )
-                        img = _scratch("dd_img", (g, npx), np.float64)
-                        np.einsum(
-                            "ji,najbk,kl->naibl",
-                            D,
-                            coeffs.reshape(g, ph_ // 8, 8, pw // 8, 8),
-                            D,
-                            out=img.reshape(g, ph_ // 8, 8, pw // 8, 8),
-                        )
-                        np.rint(img, out=img)
-                        np.clip(img, 0, 255, out=img)
-                        stack = _scratch("dd_jstack", (g, h, w), np.uint8)
-                        np.copyto(
-                            stack,
-                            img.reshape(g, ph_, pw)[:, :h, :w],
+        failed = ~has_header | bad_magic | bad_size | bad_jsize
+        decode_ok[failed] = False
+        dims_ok[failed] = False
+
+        # group good raw/qnt rows by (magic, w, h) and digest as stacks
+        if good_rawq.any():
+            gi = np.flatnonzero(good_rawq)
+            key = (magic_u32[gi] << 34) | (ww[gi] << 17) | hh[gi]
+            order = np.argsort(key, kind="stable")
+            gi = gi[order]
+            key = key[order]
+            bounds = np.flatnonzero(np.concatenate(([True], key[1:] != key[:-1])))
+            bounds = np.append(bounds, len(gi))
+            for b0, b1 in zip(bounds[:-1], bounds[1:]):
+                idxs = gi[b0:b1]
+                g = len(idxs)
+                w = int(ww[idxs[0]])
+                h = int(hh[idxs[0]])
+                try:
+                    # per-row slice memcpy, NOT a fancy-index gather:
+                    # an int64 index matrix costs 8 bytes of index
+                    # traffic per 1-byte pixel (9x total bus traffic) —
+                    # on this bandwidth-starved guest VM that gather
+                    # was the hottest load in the decode kernel. The
+                    # g-iteration Python loop is pure memcpy (~1 us/row)
+                    stack = _scratch("dd_stack", (g, h, w), np.uint8)
+                    flat_dst = stack.reshape(g, h * w)
+                    for kk in range(g):
+                        st = starts[idxs[kk]] + 8
+                        flat_dst[kk] = data[st : st + w * h]
+                    if magic_u32[idxs[0]] == _MAGIC_VALS[codec.MAGIC_QNT]:
+                        t16 = _scratch("dd_u16", (g, h, w), np.uint16)
+                        np.left_shift(
+                            stack, codec.QNT_SHIFT, out=t16,
                             casting="unsafe",
                         )
-                        ph, fv, _ = _digest_same_shape(stack)
-                    except Exception:
-                        decode_ok[idxs] = False
-                        dims_ok[idxs] = False
-                        reason_code[idxs] = 4
-                        continue
-                    phash_dec[idxs] = ph
-                    dims_ok[idxs] = (meta_h[idxs] == h) & (meta_w[idxs] == w)
-                    feat_mat[idxs] = fv
+                        t16 += 1 << (codec.QNT_SHIFT - 1)
+                        np.minimum(t16, 255, out=t16)
+                        np.copyto(stack, t16, casting="unsafe")
+                    ph, fv, _ = _digest_same_shape(stack)
+                except Exception:
+                    # malformed-but-plausible group: a row verdict,
+                    # never a task failure (module contract)
+                    decode_ok[idxs] = False
+                    dims_ok[idxs] = False
+                    reason_code[idxs] = 4
+                    continue
+                phash_dec[idxs] = ph
+                dims_ok[idxs] = (meta_h[idxs] == h) & (meta_w[idxs] == w)
+                feat_mat[idxs] = fv
 
-            phash_ok = decode_ok & (phash_dec == stored_phash)
-            reasons = np.array(["", "decode:truncated header",
-                                "decode:payload size mismatch",
-                                "decode:unknown magic",
-                                "decode:digest error",
-                                "decode:null bytes"])[reason_code]
+        # jpeg rows: same shape-grouped stack strategy, with the
+        # block-DCT inverse vectorized across the whole group
+        if good_jpeg.any():
+            gi = np.flatnonzero(good_jpeg)
+            key = (ww[gi] << 17) | hh[gi]
+            order = np.argsort(key, kind="stable")
+            gi = gi[order]
+            key = key[order]
+            bounds = np.flatnonzero(np.concatenate(([True], key[1:] != key[:-1])))
+            bounds = np.append(bounds, len(gi))
+            D = codec._DCT8
+            for b0, b1 in zip(bounds[:-1], bounds[1:]):
+                idxs = gi[b0:b1]
+                g = len(idxs)
+                w = int(ww[idxs[0]])
+                h = int(hh[idxs[0]])
+                pw, ph_ = int(pw8[idxs[0]]), int(phh8[idxs[0]])
+                npx = pw * ph_
+                try:
+                    # per-row memcpy instead of an int64 gather — same
+                    # 9x-bus-traffic rationale as the raw/qnt path
+                    raw = _scratch("dd_raw", (g, npx * 2), np.uint8)
+                    for kk in range(g):
+                        st = starts[idxs[kk]] + 8
+                        raw[kk] = data[st : st + npx * 2]
+                    coeffs = _scratch("dd_coef", (g, npx), np.float64)
+                    np.multiply(
+                        raw.view("<i2"), float(codec.JPEG_Q), out=coeffs
+                    )
+                    img = _scratch("dd_img", (g, npx), np.float64)
+                    np.einsum(
+                        "ji,najbk,kl->naibl",
+                        D,
+                        coeffs.reshape(g, ph_ // 8, 8, pw // 8, 8),
+                        D,
+                        out=img.reshape(g, ph_ // 8, 8, pw // 8, 8),
+                    )
+                    np.rint(img, out=img)
+                    np.clip(img, 0, 255, out=img)
+                    stack = _scratch("dd_jstack", (g, h, w), np.uint8)
+                    np.copyto(
+                        stack,
+                        img.reshape(g, ph_, pw)[:, :h, :w],
+                        casting="unsafe",
+                    )
+                    ph, fv, _ = _digest_same_shape(stack)
+                except Exception:
+                    decode_ok[idxs] = False
+                    dims_ok[idxs] = False
+                    reason_code[idxs] = 4
+                    continue
+                phash_dec[idxs] = ph
+                dims_ok[idxs] = (meta_h[idxs] == h) & (meta_w[idxs] == w)
+                feat_mat[idxs] = fv
 
-            ok_mask = decode_ok
-            flat = feat_mat[ok_mask].ravel()
-            list_offsets = np.zeros(n + 1, dtype=np.int32)
-            list_offsets[1:] = np.cumsum(ok_mask.astype(np.int32) * (2 + N_HIST_BINS))
-            features_arr = pa.ListArray.from_arrays(
-                pa.array(list_offsets),
-                pa.array(flat, type=pa.float64()),
-                mask=pa.array(~ok_mask),  # failed rows -> null, not []
-            )
-            yield pa.RecordBatch.from_arrays(
-                [
-                    cols["image_id"],
-                    cols["fmt"],
-                    cols["caption"],
-                    cols["ordinal"],
-                    cols["w"],
-                    cols["h"],
-                    # byte lengths fall out of the offsets already in hand —
-                    # carrying them lets the validator's size stats aggregate
-                    # the (persisted, narrow) digest rows instead of
-                    # re-scanning the full bytes column. Null payloads emit
-                    # NULL (not 0) so size stats match the F.length
-                    # convention the validator previously aggregated
-                    # (ADVICE r2).
-                    pa.array(lengths, mask=null_mask),
-                    pa.array(decode_ok),
-                    pa.array(dims_ok),
-                    pa.array(phash_ok),
-                    pa.array(phash_dec),
-                    pa.array(reasons),
-                    features_arr,
-                ],
-                schema=out_schema,
-            )
+        phash_ok = decode_ok & (phash_dec == stored_phash)
+        reasons = np.array(["", "decode:truncated header",
+                            "decode:payload size mismatch",
+                            "decode:unknown magic",
+                            "decode:digest error",
+                            "decode:null bytes"])[reason_code]
 
-    return df.mapInArrow(run, DIGEST_SCHEMA)
+        ok_mask = decode_ok
+        flat = feat_mat[ok_mask].ravel()
+        list_offsets = np.zeros(n + 1, dtype=np.int32)
+        list_offsets[1:] = np.cumsum(ok_mask.astype(np.int32) * (2 + N_HIST_BINS))
+        features_arr = pa.ListArray.from_arrays(
+            pa.array(list_offsets),
+            pa.array(flat, type=pa.float64()),
+            mask=pa.array(~ok_mask),  # failed rows -> null, not []
+        )
+        yield pa.RecordBatch.from_arrays(
+            [
+                cols["image_id"],
+                cols["fmt"],
+                cols["caption"],
+                cols["ordinal"],
+                cols["w"],
+                cols["h"],
+                # byte lengths fall out of the offsets already in hand —
+                # carrying them lets the validator's size stats aggregate
+                # the (persisted, narrow) digest rows instead of
+                # re-scanning the full bytes column. Null payloads emit
+                # NULL (not 0) so size stats match the F.length
+                # convention the validator previously aggregated
+                # (ADVICE r2).
+                pa.array(lengths, mask=null_mask),
+                pa.array(decode_ok),
+                pa.array(dims_ok),
+                pa.array(phash_ok),
+                pa.array(phash_dec),
+                pa.array(reasons),
+                features_arr,
+            ],
+            schema=out_schema,
+        )
+
+
+
+def decode_digests(images: DataFrame, ordinal_col: str | None = None) -> DataFrame:
+    """Map-only decode pass: structural checks + perceptual digest +
+    drift features per row. The heavy ``bytes`` column NEVER shuffles —
+    this stage runs on the scan partitions and only its (tiny) digest rows
+    flow downstream. This is the load-bearing dataflow decision for the
+    10^12-row shape: one decode, zero byte-shuffles.
+
+    Runs as ``mapInArrow``: the binary column is consumed directly from
+    the Arrow buffers (offsets + one contiguous data buffer) — no Python
+    bytes objects, no pandas conversion. Header fields parse as one
+    vectorized gather; same-shape groups digest as one 3-D NumPy stack for
+    every codec (raw/qnt payload view, jpeg whole-group inverse DCT).
+
+    For parquet-backed tables prefer ``decode_digests_parquet``: Spark's
+    mapInArrow input path rebuilds Arrow batches row-by-row from
+    InternalRows, which for an opaque multi-KB binary column costs ~3x the
+    JVM scan itself (measured 34 s per 1.1 GB per core vs 13 s scan —
+    BENCH.md round 3); the payload-local scan path skips that hop.
+    """
+    df = images
+    if ordinal_col is None:
+        df = df.withColumn(
+            "_ord", F.regexp_extract("image_id", r"(\d+)$", 1).cast("long")
+        )
+        ordinal_col = "_ord"
+    df = df.select(
+        "image_id", "bytes", "w", "h", "fmt", "caption", "phash",
+        F.col(ordinal_col).alias("ordinal"),
+    )
+    return df.mapInArrow(_digest_kernel, DIGEST_SCHEMA)
+
+
+def decode_digests_parquet(
+    spark, path: str, batch_rows: int = 8192, splits_per_task: int = 1
+) -> DataFrame:
+    """Payload-local decode: Spark schedules (file, row-group) splits and
+    each Python task reads its row groups straight from parquet with
+    pyarrow, feeding the same ``_digest_kernel``. Bit-identical output to
+    ``decode_digests`` over the same table (parity-tested), but the
+    multi-KB ``bytes`` payloads never cross the JVM boundary: Spark's
+    mapInArrow input path re-materializes Arrow batches row-by-row from
+    InternalRows, which costs ~3x the columnar scan itself for opaque
+    binary columns (measured at 1 CPU on a 1.1 GB/300k-image table: JVM
+    scan 13.1 s, scan + IPC into Python 46.8 s, decode kernel 16 s —
+    BENCH.md round 3). At the 10^12-row shape the scan is object-store
+    I/O with no JVM locality to lose — workers reading their own splits
+    is the standard columnar-lake pattern; for an Iceberg table the split
+    list would come from the snapshot's manifest files instead of footer
+    enumeration (sources/tables.py seam).
+
+    Driver cost is metadata-only (one footer read per file). The split
+    list is hash-distributed over ``len(splits)`` tasks; row-group
+    granularity bounds task memory by the writer's row-group size.
+    """
+    import glob as _glob
+
+    import pyarrow.parquet as _pq
+
+    files = sorted(_glob.glob(os.path.join(path, "*.parquet")))
+    if not files:
+        raise ValueError(f"no parquet files under {path}")
+    splits = []
+    for f in files:
+        meta = _pq.ParquetFile(f).metadata
+        splits.extend((f, rg) for rg in range(meta.num_row_groups))
+    # round-robin repartition: hashing (path, rg) into len(splits)
+    # partitions would leave ~1/e of tasks empty and give stragglers 2-3
+    # row groups (measured +15% stage wall); round-robin places exactly
+    # splits_per_task splits per task
+    n_tasks = max(1, len(splits) // max(splits_per_task, 1))
+    sdf = spark.createDataFrame(splits, "path string, rg int").repartition(n_tasks)
+
+    cols = ["image_id", "bytes", "w", "h", "fmt", "caption", "phash"]
+
+    def scan(batches):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        for rb in batches:
+            paths = rb.column(0).to_pylist()
+            rgs = rb.column(1).to_pylist()
+            for fp, rg in zip(paths, rgs):
+                tbl = pq.ParquetFile(fp).read_row_group(rg, columns=cols)
+                # ordinal from trailing digits of image_id — the same
+                # regexp_extract(...).cast("long") the DataFrame path
+                # applies JVM-side (no match -> null on both paths)
+                ids = tbl.column("image_id").combine_chunks()
+                ord_ = pc.cast(
+                    pc.struct_field(
+                        pc.extract_regex(ids, r"(?P<o>\d+)$"), "o"
+                    ),
+                    pa.int64(),
+                )
+                tbl = tbl.append_column("ordinal", ord_)
+                yield from _digest_kernel(
+                    tbl.combine_chunks().to_batches(max_chunksize=batch_rows)
+                )
+
+    return sdf.mapInArrow(scan, DIGEST_SCHEMA)
 
 
 def _decode_rows(vals: np.ndarray) -> list[np.ndarray | None]:
@@ -563,6 +650,7 @@ def row_checks_and_features(
     reference: DataFrame | None = None,
     ordinal_col: str | None = None,
     persist_digests: bool = True,
+    payload_path: str | None = None,
 ) -> DataFrame:
     """Row checks AND drift features — digest-first dataflow.
 
@@ -580,7 +668,14 @@ def row_checks_and_features(
     Output schema matches the exhaustive path (CHECK_SCHEMA + ordinal,
     features); ``psnr`` is NaN where the digest agreed (not computed).
     """
-    digests = decode_digests(images, ordinal_col)
+    # payload_path: the input is a parquet directory — take the
+    # payload-local scan (bytes never cross the JVM; see
+    # decode_digests_parquet). `images` still backs the psnr_verify
+    # disagreement subset, where the JVM semi-join prunes rows before IPC.
+    if payload_path is not None:
+        digests = decode_digests_parquet(images.sparkSession, payload_path)
+    else:
+        digests = decode_digests(images, ordinal_col)
     if persist_digests and reference is not None:
         # the digest stage feeds BOTH the disagreement broadcast and the
         # main output — without a persist the decode pass would run twice

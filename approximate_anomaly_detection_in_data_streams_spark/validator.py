@@ -104,6 +104,7 @@ def validate_images(
     reference: DataFrame | None = None,
     cfg: ImageValidatorConfig | None = None,
     persist: bool = True,
+    payload_path: str | None = None,
 ) -> ValidationReport:
     """Assemble the full validation lineage. Nothing executes until a sink
     pulls a stage; ``checkpoint.run_validation`` drives stages per
@@ -129,7 +130,11 @@ def validate_images(
         .where(F.col("n_dup") > cfg.phash_dup_limit)
         .orderBy(F.desc("n_dup"), "phash")
     )
-    combined = row_checks_and_features(images, reference)
+    # payload_path (optional): parquet directory backing `images` — routes
+    # the decode stage through the payload-local scan so the bytes column
+    # never crosses the JVM (decode_digests_parquet); all other stages and
+    # the output contract are identical.
+    combined = row_checks_and_features(images, reference, payload_path=payload_path)
     if persist:
         from pyspark import StorageLevel
 

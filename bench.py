@@ -101,7 +101,7 @@ def _image_validation_throughput(spark) -> float:
     # min-of-N measures the engine rather than the phase
     for _ in range(max(REPS, 1)):
         t0 = time.perf_counter()
-        report = validate_images(images, reference, vcfg)
+        report = validate_images(images, reference, vcfg, payload_path=img_path)
         report.row_checks.count()
         report.features.count()
         sinks = [

@@ -102,28 +102,70 @@ def run_one(cores: int, img_path: str, ref_path: str) -> None:
     reference.count()
     spark.range(0, cores * 8, 1, cores * 8).mapInPandas(warm_udf, "id long").count()
 
+    # Steady-state warm pass (untimed): executes the identical pipeline
+    # over a small subset of the input files (~3%) so JIT /
+    # whole-stage-codegen compilation lands outside the timed region. On
+    # a real cluster these are one-off costs amortized over hours of
+    # 100 TB work (< 0.1% of wall); on a 15-90 s toy wall they are
+    # 30-50% — and serial, so leaving them in the timing measures
+    # compilation, not throughput scaling. The subset keeps the warm pass
+    # cheap and avoids aging the JVM heap with full-size cached stages;
+    # caches are dropped so the timed pass recomputes everything.
+    import glob
+    import shutil
+
+    warm_img = img_path.rstrip("/") + ".warm"
+    warm_ref = ref_path.rstrip("/") + ".warm"
+    for src, dst in ((img_path, warm_img), (ref_path, warm_ref)):
+        if not os.path.exists(dst):
+            os.makedirs(dst)
+            for f in sorted(glob.glob(os.path.join(src, "*.parquet")))[:4]:
+                shutil.copy(f, dst)
+    warm_report = validate_images(
+        spark.read.parquet(warm_img),
+        spark.read.parquet(warm_ref),
+        vcfg,
+        payload_path=warm_img,
+    )
+    warm_report.row_checks.count()
+    warm_report.features.count()
+    for df in (
+        warm_report.partition_stats,
+        warm_report.uniqueness,
+        warm_report.phash_dups,
+        warm_report.violations,
+        warm_report.drift_slides,
+        warm_report.partition_verdicts,
+    ):
+        df.write.format("noop").mode("overwrite").save()
+    spark.catalog.clearCache()
+
     t0 = time.perf_counter()
-    report = validate_images(images, reference, vcfg)
+    report = validate_images(images, reference, vcfg, payload_path=img_path)
     # materialize the shared persisted stages exactly once before fanning
     # out sinks — concurrent first-touch would compute them redundantly
     report.row_checks.count()
     t_checks = time.perf_counter()
     report.features.count()
     t_feats = time.perf_counter()
-    sinks = [
-        report.partition_stats,
-        report.uniqueness,
-        report.phash_dups,
-        report.violations,
-        report.drift_slides,
-        report.partition_verdicts,
-    ]
+    sinks = {
+        "stats": report.partition_stats,
+        "uniqueness": report.uniqueness,
+        "phash_dups": report.phash_dups,
+        "violations": report.violations,
+        "drift": report.drift_slides,
+        "verdicts": report.partition_verdicts,
+    }
+    sink_walls: dict[str, float] = {}
+
+    def run_sink(item):
+        name, df = item
+        s0 = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        sink_walls[name] = time.perf_counter() - s0
+
     with ThreadPoolExecutor(max_workers=len(sinks)) as pool:
-        list(
-            pool.map(
-                lambda df: df.write.format("noop").mode("overwrite").save(), sinks
-            )
-        )
+        list(pool.map(run_sink, sinks.items()))
     t1 = time.perf_counter()
     spark.stop()
     print(
@@ -136,6 +178,7 @@ def run_one(cores: int, img_path: str, ref_path: str) -> None:
                 "wall_row_checks": t_checks - t0,
                 "wall_features": t_feats - t_checks,
                 "wall_sinks": t1 - t_feats,
+                **{f"sink_{k}": round(v, 2) for k, v in sink_walls.items()},
             }
         )
     )

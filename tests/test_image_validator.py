@@ -375,3 +375,45 @@ def test_full_disagreement_psnr_is_batched(spark):
         if sum(1 for r2 in checks if r2["image_id"] == row["image_id"]) == 1:
             assert row["pixels_ok"] == want_ok, row["image_id"]
     assert n_checked > 250
+
+def test_decode_digests_parquet_parity(spark, tmp_path):
+    """The payload-local scan (decode_digests_parquet: pyarrow reads in
+    the Python workers, bytes never cross the JVM) must be row-for-row
+    identical to the JVM-scan path over the same parquet table —
+    including planted violations, duplicate ids, and multi-file layout."""
+    from approximate_anomaly_detection_in_data_streams_spark.operators.image_checks import (
+        decode_digests,
+        decode_digests_parquet,
+    )
+
+    path = str(tmp_path / "imgs.parquet")
+    generate_images(spark, CFG).write.mode("overwrite").parquet(path)
+    df = spark.read.parquet(path)
+    key = ["image_id", "ordinal", "phash_dec"]
+    a = sorted(decode_digests(df).collect(), key=lambda r: [r[k] for k in key])
+    b = sorted(
+        decode_digests_parquet(spark, path).collect(),
+        key=lambda r: [r[k] for k in key],
+    )
+    assert len(a) == len(b) == CFG.n
+    assert a == b
+
+
+def test_validate_images_payload_path_matches_dataframe_path(spark, tmp_path):
+    """validate_images(payload_path=...) produces the same verdicts,
+    violations and drift rows as the DataFrame-scan path."""
+    img_path = str(tmp_path / "vi.parquet")
+    ref_path = str(tmp_path / "vr.parquet")
+    generate_images(spark, CFG).write.mode("overwrite").parquet(img_path)
+    generate_reference(spark, CFG).write.mode("overwrite").parquet(ref_path)
+    images = spark.read.parquet(img_path)
+    reference = spark.read.parquet(ref_path)
+    vcfg = ImageValidatorConfig(drift=DetectorConfig(w=200, slide=50, r=40.0, k=6))
+    ra = validate_images(images, reference, vcfg, persist=False)
+    rb = validate_images(
+        images, reference, vcfg, persist=False, payload_path=img_path
+    )
+    for stage in ("partition_verdicts", "violations", "drift_slides"):
+        va = sorted(map(tuple, getattr(ra, stage).collect()))
+        vb = sorted(map(tuple, getattr(rb, stage).collect()))
+        assert va == vb, stage
