@@ -184,27 +184,41 @@ def run_one(cores: int, img_path: str, ref_path: str) -> None:
     )
 
 
-def pinned_run(
-    cores: int, img_path: str, ref_path: str, reps: int = 2
-) -> dict[str, float]:
-    """Best-of-``reps``: the shared guest host has bursty interference
-    (measured 2x wall variance on identical configs), and min-of-N is the
-    standard way to measure the machine rather than the noise. Returns the
-    per-stage walls of the best (min total) rep."""
+def pinned_once(cores: int, img_path: str, ref_path: str) -> dict[str, float]:
     cpus = f"0-{cores - 1}"
-    runs = []
+    out = subprocess.run(
+        [
+            "taskset", "-c", cpus, sys.executable, os.path.abspath(__file__),
+            "--run-one", str(cores), img_path, ref_path,
+        ],
+        capture_output=True, text=True, check=True,
+    )
+    rec = json.loads(out.stdout.strip().splitlines()[-1])
+    print(json.dumps({"cores": cores, **{k: round(v, 2) for k, v in rec.items()}}))
+    return rec
+
+
+def interleaved_runs(
+    lo: int, hi: int, img_path: str, ref_path: str, reps: int = 2
+) -> tuple[dict[str, float], dict[str, float]]:
+    """Best-of-``reps`` per leg, legs INTERLEAVED (lo, hi, lo, hi, ...).
+
+    The shared guest host has bursty interference phases lasting minutes
+    (measured 2x wall variance on identical configs). Running all N-leg
+    reps then all 4N-leg reps lets a phase flip between the legs poison
+    the ratio in either direction (observed: a fast-phase 1-CPU leg at
+    3,469 img/s followed by a slow-phase 4-CPU leg gave a nonsense 0.40;
+    the reverse inflates efficiency). Interleaving makes both legs sample
+    the same phase distribution; min-of-N per leg then measures the
+    machine, not the noise."""
+    lo_runs, hi_runs = [], []
     for _ in range(reps):
-        out = subprocess.run(
-            [
-                "taskset", "-c", cpus, sys.executable, os.path.abspath(__file__),
-                "--run-one", str(cores), img_path, ref_path,
-            ],
-            capture_output=True, text=True, check=True,
-        )
-        rec = json.loads(out.stdout.strip().splitlines()[-1])
-        runs.append(rec)
-        print(json.dumps({"cores": cores, **{k: round(v, 2) for k, v in rec.items()}}))
-    return min(runs, key=lambda r: r["wall"])
+        lo_runs.append(pinned_once(lo, img_path, ref_path))
+        hi_runs.append(pinned_once(hi, img_path, ref_path))
+    return (
+        min(lo_runs, key=lambda r: r["wall"]),
+        min(hi_runs, key=lambda r: r["wall"]),
+    )
 
 
 def main() -> None:
@@ -226,8 +240,7 @@ def main() -> None:
     os.makedirs(WORKDIR, exist_ok=True)
     img_path, ref_path = materialize(n)
 
-    best_lo = pinned_run(lo, img_path, ref_path, reps)
-    best_hi = pinned_run(hi, img_path, ref_path, reps)
+    best_lo, best_hi = interleaved_runs(lo, hi, img_path, ref_path, reps)
     t_lo, t_hi = best_lo["wall"], best_hi["wall"]
     thr_lo = n / t_lo
     thr_hi = n / t_hi
