@@ -445,7 +445,12 @@ def decode_digests_parquet(
 
     import pyarrow.parquet as _pq
 
-    files = sorted(_glob.glob(os.path.join(path, "*.parquet")))
+    files = sorted(_glob.glob(os.path.join(path, "*.parquet"))) or sorted(
+        # partitioned/nested layouts (hive-style dirs); partition-encoded
+        # columns are not reconstructed — this table keeps all columns
+        # in-file by schema
+        _glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+    )
     if not files:
         raise ValueError(f"no parquet files under {path}")
     splits = []

@@ -417,3 +417,27 @@ def test_validate_images_payload_path_matches_dataframe_path(spark, tmp_path):
         va = sorted(map(tuple, getattr(ra, stage).collect()))
         vb = sorted(map(tuple, getattr(rb, stage).collect()))
         assert va == vb, stage
+
+def test_decode_digests_parquet_multi_rowgroup(spark, tmp_path):
+    """Row-group-granular splits: a file with many small row groups must
+    produce the same digests as the single-group layout (split list is
+    (file, row_group), so multi-group files fan out into more tasks)."""
+    import pyarrow.parquet as pq
+    from approximate_anomaly_detection_in_data_streams_spark.operators.image_checks import (
+        decode_digests_parquet,
+    )
+
+    single = str(tmp_path / "one.parquet")
+    multi = str(tmp_path / "many.parquet")
+    generate_images(spark, CFG).coalesce(1).write.mode("overwrite").parquet(single)
+    os.makedirs(multi)
+    src = glob.glob(os.path.join(single, "*.parquet"))[0]
+    pq.write_table(pq.read_table(src), os.path.join(multi, "p.parquet"),
+                   row_group_size=100)
+    assert pq.ParquetFile(os.path.join(multi, "p.parquet")).metadata.num_row_groups > 5
+    key = ["image_id", "ordinal", "phash_dec"]
+    a = sorted(decode_digests_parquet(spark, single).collect(),
+               key=lambda r: [r[k] for k in key])
+    b = sorted(decode_digests_parquet(spark, multi).collect(),
+               key=lambda r: [r[k] for k in key])
+    assert a == b and len(a) == CFG.n
