@@ -36,13 +36,16 @@ FEATURE_SCHEMA = "image_id string, ordinal long, features array<double>"
 N_HIST_BINS = 8
 
 
-COMBINED_SCHEMA = CHECK_SCHEMA + ", ordinal long, features array<double>"
+# check rows + stored-phash passthrough + ordinal + drift features; the
+# phash column lets uniqueness/duplicate-group sinks aggregate these
+# persisted narrow rows instead of re-scanning the source table
+COMBINED_SCHEMA = CHECK_SCHEMA + ", phash long, ordinal long, features array<double>"
 
 DIGEST_SCHEMA = (
     "image_id string, fmt string, caption string, ordinal long, "
     "w int, h int, n_bytes long, "
     "decode_ok boolean, dims_ok boolean, phash_ok boolean, phash_dec long, "
-    "decode_reason string, features array<double>"
+    "phash long, decode_reason string, features array<double>"
 )
 
 PSNR_SCHEMA = "image_id string, psnr double, pixels_equal boolean"
@@ -150,6 +153,10 @@ def _digest_out_schema():
             ("dims_ok", pa.bool_()),
             ("phash_ok", pa.bool_()),
             ("phash_dec", pa.int64()),
+            # stored phash passed through: lets uniqueness / duplicate-group
+            # sinks aggregate the persisted narrow digest rows instead of
+            # re-scanning the source table (one table scan total)
+            ("phash", pa.int64()),
             ("decode_reason", pa.string()),
             ("features", pa.list_(pa.float64())),
         ]
@@ -379,6 +386,7 @@ def _digest_kernel(batches):
                 pa.array(dims_ok),
                 pa.array(phash_ok),
                 pa.array(phash_dec),
+                cols["phash"],
                 pa.array(reasons),
                 features_arr,
             ],
@@ -704,6 +712,7 @@ def row_checks_and_features(
                 "is_violation"
             ),
             F.col("decode_reason").alias("reason"),
+            "phash",
             "ordinal",
             "features",
         )
@@ -779,6 +788,7 @@ def row_checks_and_features(
         F.coalesce("psnr", F.lit(float("nan"))).alias("psnr"),
         is_violation.alias("is_violation"),
         reason.alias("reason"),
+        "phash",
         "ordinal",
         "features",
     )

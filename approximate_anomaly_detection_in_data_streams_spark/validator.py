@@ -120,16 +120,6 @@ def validate_images(
 
     schema_ok, schema_errors = check_schema(images)
 
-    uniq = profile_ops.uniqueness(images, ["image_id"], exact=cfg.exact_uniqueness)
-    phash_dups = (
-        images.groupBy("phash")
-        .agg(
-            F.count(F.lit(1)).alias("n_dup"),
-            F.sort_array(F.collect_set("image_id")).alias("members"),
-        )
-        .where(F.col("n_dup") > cfg.phash_dup_limit)
-        .orderBy(F.desc("n_dup"), "phash")
-    )
     # payload_path (optional): parquet directory backing `images` — routes
     # the decode stage through the payload-local scan so the bytes column
     # never crosses the JVM (decode_digests_parquet); all other stages and
@@ -140,6 +130,23 @@ def validate_images(
 
         combined = combined.persist(StorageLevel.MEMORY_AND_DISK)
     checks = combined.drop("ordinal", "features")
+    # Uniqueness and duplicate-group sinks aggregate the persisted narrow
+    # check rows (which carry the stored phash through the digest kernel)
+    # rather than re-scanning the source table: the decode pass is the
+    # validator's ONLY full scan of the input — every downstream sink is
+    # an aggregation over rows ~1/1000 the payload size. The check stage
+    # emits exactly one row per input row (duplicate image_ids included),
+    # so these aggregations see the same multiset as a direct scan.
+    uniq = profile_ops.uniqueness(checks, ["image_id"], exact=cfg.exact_uniqueness)
+    phash_dups = (
+        checks.groupBy("phash")
+        .agg(
+            F.count(F.lit(1)).alias("n_dup"),
+            F.sort_array(F.collect_set("image_id")).alias("members"),
+        )
+        .where(F.col("n_dup") > cfg.phash_dup_limit)
+        .orderBy(F.desc("n_dup"), "phash")
+    )
     # Column stats aggregate the persisted narrow check rows (w/h/n_bytes
     # fall out of the decode pass's Arrow offsets) rather than re-scanning
     # the full bytes column — at 100 TB the payload scan IS the cost, and

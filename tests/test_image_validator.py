@@ -441,3 +441,46 @@ def test_decode_digests_parquet_multi_rowgroup(spark, tmp_path):
     b = sorted(decode_digests_parquet(spark, multi).collect(),
                key=lambda r: [r[k] for k in key])
     assert a == b and len(a) == CFG.n
+
+
+def test_single_pass_sinks_match_direct_scan(spark, labeled, report):
+    """uniqueness / phash_dups aggregate the persisted check rows (stored
+    phash passed through the digest kernel) — they must equal the same
+    aggregations computed directly over the source table, and the
+    passthrough must be per-row identical to the stored column."""
+    from pyspark.sql import functions as F
+
+    from approximate_anomaly_detection_in_data_streams_spark.operators import (
+        profile as profile_ops,
+    )
+
+    rep, vcfg = report
+    images = labeled.drop(*[c for c in labeled.columns if c.startswith("_")])
+
+    # multiset compare: duplicate image_ids are planted, so pair each
+    # stored (image_id, phash) row with exactly one passthrough row
+    stored = sorted((r.image_id, r.phash) for r in images.select("image_id", "phash").collect())
+    passed = sorted(
+        (r.image_id, r.phash)
+        for r in rep.row_checks.select("image_id", "phash").collect()
+    )
+    assert stored == passed
+
+    direct_uniq = profile_ops.uniqueness(images, ["image_id"]).collect()
+    assert sorted(map(tuple, rep.uniqueness.collect())) == sorted(
+        map(tuple, direct_uniq)
+    )
+    direct_dups = sorted(
+        map(
+            tuple,
+            images.groupBy("phash")
+            .agg(
+                F.count(F.lit(1)).alias("n_dup"),
+                F.sort_array(F.collect_set("image_id")).alias("members"),
+            )
+            .where(F.col("n_dup") > vcfg.phash_dup_limit)
+            .collect(),
+        )
+    )
+    got = sorted((r.phash, r.n_dup, tuple(r.members)) for r in rep.phash_dups.collect())
+    assert got == [(p, n, tuple(m)) for p, n, m in direct_dups]
