@@ -147,6 +147,13 @@ def validate_images(
         .where(F.col("n_dup") > cfg.phash_dup_limit)
         .orderBy(F.desc("n_dup"), "phash")
     )
+    if persist:
+        # two consumers (the dup-group report and the violation union) —
+        # without a persist the groupBy over the full check table runs
+        # twice; the dup-group result itself is tiny
+        from pyspark import StorageLevel
+
+        phash_dups = phash_dups.persist(StorageLevel.MEMORY_AND_DISK)
     # Column stats aggregate the persisted narrow check rows (w/h/n_bytes
     # fall out of the decode pass's Arrow offsets) rather than re-scanning
     # the full bytes column — at 100 TB the payload scan IS the cost, and
