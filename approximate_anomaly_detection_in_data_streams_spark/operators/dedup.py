@@ -127,7 +127,10 @@ def ngram_jaccard_pairs(
 def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str, n: int = 3, num_perm: int = 64, seed: int = 42
 ) -> DataFrame:
-    """MinHash signatures: (id, sig ARRAY<BIGINT>[num_perm]) — MAP-ONLY.
+    """MinHash signatures: (id, sig ARRAY<BIGINT>[num_perm], n_sh INT) —
+    MAP-ONLY. ``n_sh`` is the distinct-shingle count (the padded 1-shingle
+    fallback for sub-n-char docs included — such docs can never verify at
+    any threshold > 0, so size-based pruning on n_sh stays conservative).
 
     Runs as one mapInPandas pass over the raw documents: per doc, the
     distinct char n-gram shingles are derived in NumPy (codepoints via a
@@ -161,6 +164,7 @@ def minhash_signatures(
             ids = pdf["id"].to_numpy()
             texts = pdf["text"].to_numpy()
             sigs = np.empty((len(ids), num_perm), dtype=np.uint64)
+            n_sh = np.empty(len(ids), dtype=np.int32)
             with np.errstate(over="ignore"):
                 for i, t in enumerate(texts):
                     cp = np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32)
@@ -174,15 +178,18 @@ def minhash_signatures(
                             j : len(cp) - n + 1 + j
                         ].astype(np.uint64)
                     h = np.unique(packed)
+                    n_sh[i] = len(h)
                     h = (h ^ (h >> np.uint64(30))) * MIX1
                     h = (h ^ (h >> np.uint64(27))) * MIX2
                     h ^= h >> np.uint64(31)
                     sigs[i] = (h[:, None] * A[None, :] + B[None, :]).min(axis=0)
-            yield pd.DataFrame({"id": ids, "sig": list(sigs.view(np.int64))})
+            yield pd.DataFrame(
+                {"id": ids, "sig": list(sigs.view(np.int64)), "n_sh": n_sh}
+            )
 
     return df.select(
         F.col(id_col).alias("id"), F.col(text_col).alias("text")
-    ).mapInPandas(emit, "id long, sig array<long>")
+    ).mapInPandas(emit, "id long, sig array<long>, n_sh int")
 
 
 def minhash_lsh_pairs(
@@ -234,6 +241,13 @@ def minhash_lsh_pairs(
     Output: (id_a, id_b, jaccard) ordered.
     """
     rows = num_perm // bands
+    # a small-file corpus (test scale: one parquet footer) would otherwise
+    # run the signature kernel and the doc-side text fan on ONE core —
+    # measured ~3 s of serial time at sf0.1. At corpus scale the input is
+    # already wide and this is a no-op.
+    sp_width = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "64"))
+    if df.rdd.getNumPartitions() < sp_width // 2:
+        df = df.repartition(sp_width)
     # persisted: the signature table feeds both the bucket-size aggregation
     # and the fan-out join — without the persist the map-only signature
     # kernel would run once per consumer. Previous calls' tables are
@@ -242,9 +256,17 @@ def minhash_lsh_pairs(
         _LIVE_SIG.pop().unpersist()
     sig = minhash_signatures(df, id_col, text_col, n, num_perm, seed).persist()
     _LIVE_SIG.append(sig)
+    # The estimate kernel never needs the full 64-bit minima — only which
+    # components AGREE. A 1-byte/perm sketch (low byte of each minimum,
+    # shifted into tinyint range; equal minima => equal bytes, so sketch
+    # agreement >= true agreement and recall is untouched) cuts the fanned
+    # shuffle payload ~8x and the kernel's broadcast-compare read traffic
+    # ~8x; the ~1/256-per-perm collision inflation only ever ADDS
+    # candidates, which the exact verify then rejects.
     banded = sig.select(
         "id",
-        "sig",
+        F.expr("transform(sig, x -> cast((x & 255) - 128 as tinyint))").alias("sk"),
+        F.col("n_sh").alias("sz"),
         F.explode(
             F.array(
                 *[
@@ -258,7 +280,7 @@ def minhash_lsh_pairs(
                 ]
             )
         ).alias("bk"),
-    ).select("id", "sig", "bk.band", "bk.bh")
+    ).select("id", "sk", "sz", "bk.band", "bk.bh")
 
     # Dataflow: banded keys -> bucket sizes -> thin oversized buckets
     # (bucket_cap) -> 2-D block split (block_size) -> per-block-pair
@@ -306,8 +328,8 @@ def minhash_lsh_pairs(
         ),
     )
     fanned = keyed.select(
-        "id", "sig", "band", "bh", "bi", F.explode(block_pairs).alias("t")
-    ).select("id", "sig", "band", "bh", "bi", "t.lo", "t.hi")
+        "id", "sk", "sz", "band", "bh", "bi", F.explode(block_pairs).alias("t")
+    ).select("id", "sk", "sz", "band", "bh", "bi", "t.lo", "t.hi")
 
     def emit(batches):
         import pyarrow as pa
@@ -324,13 +346,16 @@ def minhash_lsh_pairs(
         band, bh, lo, hi = band[order], bh[order], lo[order], hi[order]
         ids_all = tbl.column("id").to_numpy(zero_copy_only=False)[order]
         bi_all = tbl.column("bi").to_numpy(zero_copy_only=False)[order]
-        # signatures as ONE flat int64 buffer reshaped (n, num_perm) — the
+        sz_all = tbl.column("sz").to_numpy(zero_copy_only=False)[order]
+        # sketches as ONE flat uint8 buffer reshaped (n, num_perm) — the
         # pandas path materialized a quarter-million per-row object arrays
         # and then copied them row-by-row into the kernel buffer (measured:
-        # that conversion, not the agreement math, dominated the kernel)
-        sig_col = tbl.column("sig").combine_chunks()
-        sigs_flat = sig_col.flatten().to_numpy(zero_copy_only=False)
-        sigs_all = sigs_flat.reshape(len(band), num_perm)[order]
+        # that conversion, not the agreement math, dominated the kernel).
+        # uint8 keeps a 2524-row block's compare side in L2 (242 KB vs
+        # 1.9 MB as int64) on the bandwidth-starved guest.
+        sk_col = tbl.column("sk").combine_chunks()
+        sk_flat = sk_col.flatten().to_numpy(zero_copy_only=False)
+        sigs_all = sk_flat.view(np.uint8).reshape(len(band), num_perm)[order]
         changed = (
             (band[1:] != band[:-1])
             | (bh[1:] != bh[:-1])
@@ -367,12 +392,14 @@ def minhash_lsh_pairs(
                 continue
             ids = ids_all[b0:b1]
             S = sigs_all[b0:b1]
+            sz = sz_all[b0:b1]
             if lo[b0] == hi[b0]:
                 a = agreement(S, S, agree)
                 e = eq[:m, :m]
                 np.less(ids[:, None], ids[None, :], out=e)
                 np.logical_and(a >= cut * num_perm, e, out=e)
                 ai, bj = np.nonzero(e)
+                sa, sb = sz[ai], sz[bj]
                 ia, ib = ids[ai], ids[bj]
             else:
                 side = bi_all[b0:b1] == lo[b0]
@@ -383,10 +410,16 @@ def minhash_lsh_pairs(
                     continue
                 a = agreement(S[xi], S[yi], agree)
                 ai, bj = np.nonzero(a >= cut * num_perm)
+                sa, sb = sz[xi][ai], sz[yi][bj]
                 u, v = ids[xi][ai], ids[yi][bj]
                 ia, ib = np.minimum(u, v), np.maximum(u, v)
-            out_a.append(ia)
-            out_b.append(ib)
+            # size prune (exact, classic prefix-filter bound): jaccard <=
+            # min(|A|,|B|)/max(|A|,|B|), so a pair whose shingle-set sizes
+            # are out of ratio can never verify at ``threshold`` — applied
+            # to estimate survivors only (per-pair cost, not a plane)
+            keep = np.minimum(sa, sb) >= threshold * np.maximum(sa, sb)
+            out_a.append(ia[keep])
+            out_b.append(ib[keep])
         if out_a:
             yield pa.RecordBatch.from_pandas(
                 pd.DataFrame(
@@ -398,55 +431,122 @@ def minhash_lsh_pairs(
     if n > 3:
         raise ValueError("packed shingle verify supports n <= 3")
 
-    def _pack(t: str) -> frozenset:
-        if len(t) < n:
+    _EMPTY = np.empty(0, dtype=np.uint64)
+
+    def _pack(t) -> np.ndarray:
+        """Sorted unique packed-shingle ids of one document (uint64)."""
+        if t is None or len(t) < n:
             # char_shingles (and the SQL oracle) give <n-char docs ZERO
             # shingles — the signature kernel's padding is for candidate
             # generation only, never for the verified jaccard
-            return frozenset()
+            return _EMPTY
         cp = np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32)
         packed = np.zeros(len(cp) - n + 1, dtype=np.uint64)
         for j in range(n):
             packed = (packed << np.uint64(21)) | cp[j : len(cp) - n + 1 + j].astype(
                 np.uint64
             )
-        # frozenset of python ints: C-level set intersection beats per-pair
-        # searchsorted by ~1.7x at ~300 shingles/doc (measured)
-        return frozenset(packed.tolist())
+        return np.unique(packed)
 
     def verify(batches):
-        # per-task memo keyed by doc id: hot documents appear in many
-        # candidate pairs and pack once per task, not once per pair
-        memo: dict[int, frozenset] = {}
+        # GROUP-VECTORIZED exact verify over the co-located (docs + bare
+        # pairs) union. Two measured costs drove this shape (150
+        # core-seconds for 5.2M sf0.1 candidates in the previous
+        # join-texts-per-pair pandas loop):
+        #   1. the text join shipped BOTH documents' bytes on every pair
+        #      row through Arrow IPC (~pairs * 2|doc| — 3 GB at sf0.1);
+        #      the block-union below ships each doc ``vb`` times total and
+        #      pairs as bare ints;
+        #   2. per-pair frozenset intersection burned ~38 us/pair of
+        #      interpreter time; the candidate set is cluster-structured
+        #      (each template doc pairs with ~10^3 neighbors), so sorting
+        #      by id_a forms large per-A groups and each group does ONE
+        #      searchsorted of the concatenated B-side shingle arrays
+        #      against A's sorted array plus a reduceat for the per-pair
+        #      counts.
+        # Per-task memo keyed by doc id: hot documents pack once per task.
+        import pyarrow as pa
 
-        def get(i: int, t) -> frozenset | None:
-            s = memo.get(i)
-            if s is None:
-                if t is None:
-                    return None
-                memo[i] = s = _pack(t)
-            return s
+        memo: dict[int, np.ndarray] = {}
 
-        for pdf in batches:
-            if not len(pdf):
+        chunks = [b for b in batches if b.num_rows]
+        if not chunks:
+            return
+        tbl = pa.Table.from_batches(chunks)
+        gi = tbl.column("gi").to_numpy(zero_copy_only=False)
+        gj = tbl.column("gj").to_numpy(zero_copy_only=False)
+        kind = tbl.column("kind").to_numpy(zero_copy_only=False)
+        import pyarrow.compute as pc
+
+        ida_all = pc.fill_null(tbl.column("id_a"), -1).to_numpy(
+            zero_copy_only=False
+        )
+        idb_all = pc.fill_null(tbl.column("id_b"), -1).to_numpy(
+            zero_copy_only=False
+        )
+        text_col = tbl.column("text").combine_chunks()
+        # rows arrive sorted (gi, gj, kind): each group's doc rows precede
+        # its pair rows
+        changed_g = (gi[1:] != gi[:-1]) | (gj[1:] != gj[:-1])
+        gb = np.flatnonzero(np.concatenate(([True], changed_g)))
+        gb = np.append(gb, len(gi))
+        out_a, out_b, out_j = [], [], []
+        for p0, p1 in zip(gb[:-1], gb[1:]):
+            k = kind[p0:p1]
+            split = p0 + int(np.searchsorted(k, 1))
+            for di in range(p0, split):  # doc rows: pack once per task
+                did = int(ida_all[di])
+                if did not in memo:
+                    memo[did] = _pack(text_col[di].as_py())
+            if split == p1:
                 continue
-            ida = pdf["id_a"].to_numpy()
-            idb = pdf["id_b"].to_numpy()
-            ta = pdf["_ta"].to_numpy()
-            tb = pdf["_tb"].to_numpy()
-            m = len(pdf)
+            ida = ida_all[split:p1]
+            idb = idb_all[split:p1]
+            m = p1 - split
+            order = np.argsort(ida, kind="stable")
+            ida_s, idb_s = ida[order], idb[order]
             jac = np.zeros(m, dtype=np.float64)
-            for i in range(m):
-                A = get(int(ida[i]), ta[i])
-                B = get(int(idb[i]), tb[i])
-                if not A or not B:
+            changed = ida_s[1:] != ida_s[:-1]
+            bounds = np.flatnonzero(np.concatenate(([True], changed)))
+            bounds = np.append(bounds, m)
+            for g0, g1 in zip(bounds[:-1], bounds[1:]):
+                A = memo.get(int(ida_s[g0]), _EMPTY)
+                la = len(A)
+                if la == 0:
                     continue
-                inter = len(A & B)
-                jac[i] = inter / (len(A) + len(B) - inter)
+                Bs = [memo.get(int(idb_s[k2]), _EMPTY) for k2 in range(g0, g1)]
+                lens = np.fromiter(
+                    (len(b) for b in Bs), count=g1 - g0, dtype=np.int64
+                )
+                # same size bound as the kernel prune: intersection work
+                # only for pairs that can still reach the threshold (this
+                # also drops zero-shingle B docs, keeping reduceat
+                # segments non-empty)
+                ok = np.minimum(lens, la) >= threshold * np.maximum(lens, la)
+                if not ok.any():
+                    continue
+                oki = np.flatnonzero(ok)
+                cat = np.concatenate([Bs[k2] for k2 in oki])
+                idx = np.searchsorted(A, cat)
+                np.minimum(idx, la - 1, out=idx)
+                hit = (A[idx] == cat).astype(np.int64)
+                lens_ok = lens[oki]
+                offs = np.zeros(len(oki), dtype=np.int64)
+                np.cumsum(lens_ok[:-1], out=offs[1:])
+                inter = np.add.reduceat(hit, offs)
+                jac[order[g0:g1][oki]] = inter / (la + lens_ok - inter)
             jac = _round_half_away(jac)
             keep = jac >= threshold
-            yield pd.DataFrame(
-                {"id_a": ida[keep], "id_b": idb[keep], "jaccard": jac[keep]}
+            out_a.append(ida[keep])
+            out_b.append(idb[keep])
+            out_j.append(jac[keep])
+        if out_a:
+            yield pa.RecordBatch.from_pydict(
+                {
+                    "id_a": pa.array(np.concatenate(out_a), type=pa.int64()),
+                    "id_b": pa.array(np.concatenate(out_b), type=pa.int64()),
+                    "jaccard": pa.array(np.concatenate(out_j), type=pa.float64()),
+                }
             )
 
     sp = banded.sparkSession.conf.get("spark.sql.shuffle.partitions", "64")
@@ -456,27 +556,60 @@ def minhash_lsh_pairs(
         .mapInArrow(emit, "id_a long, id_b long")
         .distinct()  # dedupe across bands/blocks; also balances the verify input
     )
-    # Distributed exact verify: texts join the candidates by bare long id
-    # (two shuffles keyed on id_a / id_b, payload = the candidate rows plus
-    # ONE text copy per side). The text table is never collected and no
-    # driver-sized structure exists anywhere in this operator; at corpus
-    # scale the verify input is |candidates| rows, not |corpus|. Inner
-    # joins drop candidates whose id is missing from the corpus — identical
-    # to the old dict.get(None) -> jaccard 0 < threshold path.
+    # Distributed exact verify WITHOUT per-pair text payload: the previous
+    # formulation joined both texts onto every candidate row, and shipping
+    # ~pair_count * 2 * |doc| bytes through Arrow IPC to the Python workers
+    # dominated the operator (measured ~130 core-seconds for 5.2M sf0.1
+    # candidates vs ~18 core-seconds of JVM work). Instead, ids hash into
+    # ``vb`` blocks and every unordered block pair is one verify group (the
+    # embedding_neardup_pairs grid): candidate pairs route to exactly ONE
+    # group as bare (id_a, id_b) ints, and each document's text is fanned
+    # to its ``vb`` groups — so text bytes cross the wire O(vb * corpus),
+    # never O(pairs * |doc|), and the kernel packs each doc's shingles at
+    # most once per task. Docs missing from the corpus simply never reach
+    # the memo -> jaccard 0, the inner-join semantics this replaces.
+    vb = 16
     texts = df.select(
         F.col(id_col).cast("long").alias("id"), F.col(text_col).alias("text")
     )
-    with_texts = (
-        cand.join(texts.withColumnRenamed("id", "id_a").withColumnRenamed("text", "_ta"), "id_a")
-        .join(texts.withColumnRenamed("id", "id_b").withColumnRenamed("text", "_tb"), "id_b")
+
+    def _blk(c):
+        return F.pmod(F.xxhash64(c, F.lit(seed + 2)), F.lit(vb)).cast("int")
+
+    pair_rows = cand.select(
+        "id_a",
+        "id_b",
+        F.lit(None).cast("string").alias("text"),
+        F.least(_blk(F.col("id_a")), _blk(F.col("id_b"))).alias("gi"),
+        F.greatest(_blk(F.col("id_a")), _blk(F.col("id_b"))).alias("gj"),
+        F.lit(1).alias("kind"),
     )
-    verified = with_texts.mapInPandas(verify, "id_a long, id_b long, jaccard double")
+    doc_groups = F.array(
+        *[
+            F.struct(
+                F.least(F.lit(o), _blk(F.col("id"))).alias("gi"),
+                F.greatest(F.lit(o), _blk(F.col("id"))).alias("gj"),
+            )
+            for o in range(vb)
+        ]
+    )
+    doc_rows = texts.select(
+        F.col("id").alias("id_a"),
+        F.lit(None).cast("long").alias("id_b"),
+        "text",
+        F.explode(doc_groups).alias("g"),
+        F.lit(0).alias("kind"),
+    ).select("id_a", "id_b", "text", "g.gi", "g.gj", "kind")
+    verified = (
+        doc_rows.unionByName(pair_rows)
+        .repartition(int(sp), "gi", "gj")
+        .sortWithinPartitions("gi", "gj", "kind")
+        .mapInArrow(verify, "id_a long, id_b long, jaccard double")
+    )
     # lazy localCheckpoint before the global sort: RangePartitioning's
-    # sampling job would otherwise re-execute the join+verify lineage a
-    # second time (the broadcast joins sit above the reusable distinct
-    # exchange — measured +9.5 s at sf0.1). The checkpointed result is
-    # the tiny final pair set, materialized once, read by both the sample
-    # and the sort.
+    # sampling job would otherwise re-execute the verify lineage a second
+    # time. The checkpointed result is the tiny final pair set,
+    # materialized once, read by both the sample and the sort.
     return verified.localCheckpoint(eager=False).orderBy("id_a", "id_b")
 
 

@@ -148,21 +148,34 @@ def main() -> None:
 
     spark.range(0, CPUS * 8, 1, CPUS * 8).mapInPandas(_warm, "id long").count()
 
-    times: dict[str, float] = {}
-    for name in HEADLINE:
-        best = float("inf")
-        pre_keys = set(entrymod._DETECTIONS)
-        for rep in range(max(REPS, 1)):
+    # INTERLEAVED reps: pass 1 runs every query, then pass 2, then pass 3 —
+    # so one query's reps sample host phases ~a minute apart instead of
+    # back-to-back. The r3 driver record caught a slow phase that lasted
+    # through all 3 consecutive reps of ivf_ann/audio/video (3-4x walls vs
+    # r2 on identical code+rows); with interleaving a multi-second phase
+    # can poison at most one full pass, and the per-query min still
+    # measures the engine.
+    times: dict[str, float] = {name: float("inf") for name in HEADLINE}
+    created: dict[str, set] = {}
+    for rep in range(max(REPS, 1)):
+        for name in HEADLINE:
             if rep:
-                # drop detection-memo entries THIS query created so every
-                # rep measures genuine compute; cross-query reuse (e.g.
-                # mcod_stats reading mcod_outliers' verdict table) stays
-                for k in set(entrymod._DETECTIONS) - pre_keys:
-                    entrymod._DETECTIONS.pop(k).per_point.unpersist()
+                # drop detection-memo entries THIS query created on the
+                # first pass so every rep measures genuine compute;
+                # cross-query reuse (e.g. mcod_stats reading mcod_outliers'
+                # verdict table) stays because the producer re-runs first
+                # in pass order
+                for k in created.get(name, ()):
+                    hit = entrymod._DETECTIONS.pop(k, None)
+                    if hit is not None:
+                        hit.per_point.unpersist()
+            pre_keys = set(entrymod._DETECTIONS)
             t0 = time.perf_counter()
             qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
-        times[name] = round(best, 3)
+            times[name] = min(times[name], time.perf_counter() - t0)
+            if not rep:
+                created[name] = set(entrymod._DETECTIONS) - pre_keys
+    times = {name: round(v, 3) for name, v in times.items()}
 
     total = round(sum(times.values()), 3)
     n_events = spark.read.parquet(f"{SF_DIR}/events.parquet").count()
