@@ -6,7 +6,7 @@ fixture is *synthetic with planted violations* — the generators
 (sources/images.py, operators/media.py) are pure functions of
 (config, ordinal) — so an independent SEQUENTIAL reimplementation of the
 validation semantics can compute the exact expected outputs in plain
-NumPy (scalar `codec.decode` path, per-window O(n^2) detection loop, no
+NumPy (a standalone scalar decode path, per-window O(n^2) detection loop, no
 Spark, no Arrow kernels, no distributed dataflow) and persist them as
 parquet side tables. The DuckDB oracle then reads those tables and
 recomputes the SQL-expressible math (rates, rounding, thresholds) on top
@@ -19,15 +19,28 @@ decodes through the vectorized Arrow kernels (operators/image_checks.py
 distributed aggregation, runs the anomaly stage through the banded
 block-join detector (operators/pairs.py + operators/detector.py), and
 aggregates drift through shuffles; this module re-derives every one of
-those results through the scalar single-process path (codec.decode,
-explicit per-batch window loops, Python dict elections). Any divergence
-between the two dataflows — batching bugs, fan-out on duplicate
-image_ids, election nondeterminism, wrong window arithmetic — breaks the
-hash match. The per-image digest arithmetic (`_digest_same_shape`) is
-shared by design: it is the *definition* of the feature vector, and its
-per-image values are independent of batch grouping (all reductions are
-per-row), which this module relies on and tests/test_image_validator.py
-asserts.
+those results through the scalar single-process path (its own container
+decoder, explicit per-batch window loops, Python dict elections), and
+imports NOTHING from operators/ or functions/ — the container format,
+PSNR, perceptual hash, and the per-image digest (mean/std/8-bin histogram
+over the 256-level pixel distribution) are all re-implemented standalone
+below from their definitions. Any divergence between the two dataflows —
+batching bugs, vectorization bugs in the digest arithmetic, fan-out on
+duplicate image_ids, election nondeterminism, wrong window arithmetic —
+breaks the hash match. The only shared code is the DATA GENERATOR
+(sources/images.py): the oracle must replay the same input definition the
+driver's parquet was generated from, exactly as the TPC-H queries share
+the driver's testdata.
+
+Bit-exactness of the standalone re-derivations rests on exact-integer
+float64 arithmetic: every sum over uint8 pixels (block sums, histograms,
+squared-error sums) is an exact integer below 2^53, so any summation
+order gives the identical float64, and each derived quantity (mean, std,
+PSNR, block mean) involves a single rounding — the independent
+formulation provably reproduces the kernel's bits rather than relying on
+matching operation order. (The one exception, the 8x8 block-DCT decode,
+mirrors the einsum contraction spec; the fixtures are deterministic, so a
+pass at test time is stable.)
 
 Reference analog: the same planted-truth trick that oracles the detector
 (md5 priorities, __spark_entry__._approx_mcod_sql) — the reference's own
@@ -44,10 +57,67 @@ from collections import Counter, defaultdict
 
 import numpy as np
 
-from ..functions import image_codec as codec
-from ..functions import media_codec as mcodec
-from ..operators.image_checks import PSNR_MIN_DB, _digest_same_shape
-from ..sources.images import ImageTableConfig, _row, _true_pixels, caption_for
+from ..sources.images import ImageTableConfig, _row, _true_pixels, caption_for, reference_row
+
+# ---------------------------------------------------------------------------
+# standalone re-derivations of the validation math (no operators/functions
+# imports — see module docstring)
+# ---------------------------------------------------------------------------
+
+_MAGIC_RAW = b"AADR"
+_MAGIC_QNT = b"AADQ"
+_MAGIC_JPEG = b"AADJ"
+_QNT_SHIFT = 2
+_JPEG_Q = 4
+PSNR_MIN_DB = 40.0  # the input_hint lossy-fidelity gate
+
+
+def _o_dct8() -> np.ndarray:
+    """Orthonormal 8x8 DCT-II basis (the container spec's transform)."""
+    k = np.arange(8)
+    D = np.cos((2 * k[None, :] + 1) * k[:, None] * np.pi / 16.0)
+    D[0] *= 1.0 / np.sqrt(2.0)
+    return D * 0.5
+
+
+_O_DCT8 = _o_dct8()
+
+
+def _o_decode(data: bytes) -> np.ndarray:
+    """Scalar container decode (raw/qnt/jpeg) re-derived from the format
+    spec; only called on payloads _classify_bytes accepted."""
+    w, h = (int(v) for v in np.frombuffer(data[4:8], dtype="<u2"))
+    payload = data[8:]
+    magic = data[:4]
+    if magic == _MAGIC_RAW:
+        return np.frombuffer(payload, dtype=np.uint8).reshape(h, w)
+    if magic == _MAGIC_QNT:
+        q = np.frombuffer(payload, dtype=np.uint8).reshape(h, w)
+        mid = (q.astype(np.uint16) << _QNT_SHIFT) + (1 << (_QNT_SHIFT - 1))
+        return mid.clip(0, 255).astype(np.uint8)
+    ph = -(-h // 8) * 8
+    pw = -(-w // 8) * 8
+    q = np.frombuffer(payload, dtype="<i2").astype(np.float64)
+    blocks = q.reshape(ph // 8, 8, pw // 8, 8) * _JPEG_Q
+    img = np.einsum("ji,ajbk,kl->aibl", _O_DCT8, blocks, _O_DCT8)
+    return img.reshape(ph, pw)[:h, :w].round().clip(0, 255).astype(np.uint8)
+
+
+def _o_psnr(a: np.ndarray, b: np.ndarray) -> float:
+    if a.shape != b.shape:
+        return 0.0
+    diff = a.astype(np.float64) - b.astype(np.float64)
+    mse = float(np.mean(diff * diff))
+    if mse == 0.0:
+        return float("inf")
+    return 10.0 * np.log10(255.0 * 255.0 / mse)
+
+
+def _o_encode_raw(pixels: np.ndarray) -> bytes:
+    h, w = pixels.shape
+    return _MAGIC_RAW + np.array([w, h], dtype="<u2").tobytes() + pixels.astype(
+        np.uint8
+    ).tobytes()
 
 # ---------------------------------------------------------------------------
 # image table truth
@@ -64,11 +134,11 @@ def _classify_bytes(data: bytes | None) -> tuple[bool, str]:
     magic = data[:4]
     w, h = (int(v) for v in np.frombuffer(data[4:8], dtype="<u2"))
     plausible = 0 < w <= 16384 and 0 < h <= 16384
-    if magic in (codec.MAGIC_RAW, codec.MAGIC_QNT):
+    if magic in (_MAGIC_RAW, _MAGIC_QNT):
         if not plausible or len(data) - 8 != w * h:
             return False, "decode:payload size mismatch"
         return True, ""
-    if magic == codec.MAGIC_JPEG:
+    if magic == _MAGIC_JPEG:
         pw8 = -(-w // 8) * 8
         ph8 = -(-h // 8) * 8
         if not plausible or len(data) - 8 != pw8 * ph8 * 2:
@@ -78,10 +148,35 @@ def _classify_bytes(data: bytes | None) -> tuple[bool, str]:
 
 
 def _digest_one(pixels: np.ndarray) -> tuple[int, np.ndarray]:
-    """(phash, features) of one image via the shared per-image digest
-    definition (batch-size independent — see module docstring)."""
-    ph, fv, _ = _digest_same_shape(pixels[None].astype(np.uint8))
-    return int(ph[0]), fv[0]
+    """(phash, features) of one image — standalone scalar re-derivation of
+    the digest definition (64-bit 8x8 block-mean perceptual hash; features
+    = [mean, std, 8-bin histogram scaled to 128/(h*w)]). All block sums
+    and moments are exact integers in float64, so this provably matches
+    the vectorized kernel bit-for-bit regardless of summation order."""
+    h, w = pixels.shape
+    grid = 8
+    hp = pixels
+    if h < grid or w < grid:  # nearest-neighbor upsample, per the spec
+        ry = -(-grid // h) if h < grid else 1
+        rx = -(-grid // w) if w < grid else 1
+        hp = np.repeat(np.repeat(pixels, ry, axis=0), rx, axis=1)
+    hh, ww = hp.shape
+    bh, bw = max(hh // grid, 1), max(ww // grid, 1)
+    trimmed = hp[: bh * grid, : bw * grid]
+    bsum = trimmed.reshape(grid, bh, grid, bw).sum(axis=(1, 3), dtype=np.int64)
+    blocks = bsum / float(bh * bw)
+    bits = (blocks > blocks.mean()).flatten()[:63]
+    weights = 1 << np.arange(63, dtype=np.uint64)
+    phash = int((bits * weights).sum().astype(np.int64))
+
+    hist256 = np.bincount(pixels.ravel(), minlength=256).astype(np.int64)
+    npx = h * w
+    v = np.arange(256, dtype=np.float64)
+    mean = float(hist256 @ v) / npx
+    m2 = float(hist256 @ (v * v)) / npx
+    std = np.sqrt(max(m2 - mean * mean, 0.0))
+    hist8 = hist256.reshape(8, 32).sum(axis=1).astype(np.float64) * (128.0 / npx)
+    return phash, np.concatenate([[mean, std], hist8])
 
 
 def _end_eval_outlier_ids(
@@ -122,17 +217,14 @@ def image_truth(cfg: ImageTableConfig, vcfg) -> dict[str, list[dict]]:
     rows = [_row(cfg, i) for i in range(cfg.n)]
 
     # reference truth rows, keyed by WRITTEN image_id (duplicate ids carry
-    # several claimant reference rows — election below)
+    # several claimant reference rows — election below). Replayed through
+    # the generator's own reference_row — the reference table is INPUT
+    # data, not validation logic.
     refs: dict[str, list[tuple[int, str, bytes]]] = defaultdict(list)
     for i in range(cfg.n):
-        r = rows[i]
-        pixels, _src, _anom = _true_pixels(cfg, i)
-        refs[r["image_id"]].append(
-            (
-                codec.average_hash(pixels),
-                caption_for(cfg.seed, i),
-                codec.encode_raw(pixels),
-            )
+        rr = reference_row(cfg, i)
+        refs[rr["image_id"]].append(
+            (rr["ref_phash"], rr["ref_caption"], rr["ref_bytes"])
         )
 
     # elected truth row per image_id: min by (ref_phash, ref_caption,
@@ -165,7 +257,7 @@ def image_truth(cfg: ImageTableConfig, vcfg) -> dict[str, list[dict]]:
             "features": None,
         }
         if decode_ok:
-            pixels = codec.decode(r["bytes"])
+            pixels = _o_decode(r["bytes"])
             ph, fv = _digest_one(pixels)
             rec["phash_dec"] = ph
             rec["features"] = fv
@@ -187,13 +279,13 @@ def image_truth(cfg: ImageTableConfig, vcfg) -> dict[str, list[dict]]:
         by_id[rec["image_id"]].append(rec)
     for iid in disagreed:
         ref = elected[iid]
-        ref_pixels = codec.decode(ref[2])
+        ref_pixels = _o_decode(ref[2])
         p_min, eq_all = float("inf"), True
         for rec in by_id[iid]:
             p, eq = 0.0, False
             px = rec.get("pixels")
             if px is not None:  # decode-failing claimants contribute (0, False)
-                p = codec.psnr(px, ref_pixels)
+                p = _o_psnr(px, ref_pixels)
                 eq = bool(np.array_equal(px, ref_pixels))
             p_min = min(p_min, p)
             eq_all = eq_all and eq
@@ -361,7 +453,7 @@ def video_truth(n: int, seed: int, every_k: int) -> list[dict]:
         shift = rng.integers(0, 32)
         for idx in range(0, nf, every_k):
             frame = ((base + shift + 7 * idx) % 256).astype(np.uint8)
-            payload = codec.encode_raw(frame)
+            payload = _o_encode_raw(frame)
             fp = int(hashlib.md5(payload).hexdigest()[:15], 16)
             out.append(
                 {
@@ -407,7 +499,7 @@ def ensure_truth(
                 vcfg.drift_l1_limit,
             ],
             "media": [media_n, media_seed, every_k],
-            "rev": 1,
+            "rev": 2,  # 2 = standalone re-derivation (no operators/functions imports)
         },
         sort_keys=True,
         default=str,

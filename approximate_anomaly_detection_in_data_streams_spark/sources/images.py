@@ -183,6 +183,20 @@ def generate_images(
     return spark.range(0, cfg.n, 1, cfg.partitions).mapInPandas(gen, schema)
 
 
+def reference_row(cfg: ImageTableConfig, idx: int) -> dict:
+    """One truth row of the reference table — part of the INPUT-DATA
+    definition (what ``generate_reference`` writes), shared with the
+    planted-truth oracle which replays the generator."""
+    r = _row(cfg, idx)
+    pixels, _src, _anom = _true_pixels(cfg, idx)
+    return {
+        "image_id": r["image_id"],
+        "ref_bytes": codec.encode_raw(pixels),
+        "ref_caption": caption_for(cfg.seed, idx),
+        "ref_phash": codec.average_hash(pixels),
+    }
+
+
 def generate_reference(spark: SparkSession, cfg: ImageTableConfig) -> DataFrame:
     """Truth table for the per-row invariant: reference bytes are always the
     lossless encoding of the *uncorrupted, correct-ordinal* pixels, plus
@@ -191,19 +205,6 @@ def generate_reference(spark: SparkSession, cfg: ImageTableConfig) -> DataFrame:
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = []
-            for i in pdf["id"]:
-                idx = int(i)
-                r = _row(cfg, idx)
-                pixels, _src, _anom = _true_pixels(cfg, idx)
-                rows.append(
-                    {
-                        "image_id": r["image_id"],
-                        "ref_bytes": codec.encode_raw(pixels),
-                        "ref_caption": caption_for(cfg.seed, idx),
-                        "ref_phash": codec.average_hash(pixels),
-                    }
-                )
-            yield pd.DataFrame(rows)
+            yield pd.DataFrame([reference_row(cfg, int(i)) for i in pdf["id"]])
 
     return spark.range(0, cfg.n, 1, cfg.partitions).mapInPandas(gen, REF_SCHEMA)
