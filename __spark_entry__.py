@@ -4,8 +4,9 @@ Each ``queries()`` entry exercises one operator family from SURVEY.md §2 /
 the training-data-pipeline superset; ``oracle_sql()`` holds the ANSI-SQL
 twin DuckDB runs on the same parquet views. Column names and float rounding
 are aligned on both sides (the driver value-hashes after sorting columns by
-name). Non-SQL-expressible ops (seeded LSH / MinHash / SimHash / SRP-ANN)
-ship without an oracle — the driver records rows-only checks for those.
+name). Every query carries an oracle: seeded/approximate operators are made
+exactly checkable via portable hashes, float-literal keys, provable-recall
+parameters, or planted-ground-truth side tables (oracle/planted.py).
 """
 
 from __future__ import annotations
@@ -567,6 +568,28 @@ def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("audio_id")
 
 
+SIMHASH_FAST_N = 1000
+
+
+def q_simhash_fast_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup join through the PRODUCTION ``fast`` hash tier
+    (vectorized splitmix64 over packed codepoints — no portable SQL twin,
+    unlike the md5 tier q_simhash_pairs_documents exercises). Oracle =
+    planted ground truth: a deterministic near-dup corpus
+    (sources/documents.py) whose expected pair set is re-derived by a
+    sequential pure-Python-int replay of the signature definition plus
+    all-pairs popcount (oracle/planted.py::simhash_fast_truth), persisted
+    as a parquet side table."""
+    from approximate_anomaly_detection_in_data_streams_spark.sources.documents import (
+        generate_neardup_docs,
+    )
+
+    docs = generate_neardup_docs(spark, SIMHASH_FAST_N, seed=11)
+    return dedup_ops.simhash_neardup_pairs(
+        docs, "doc_id", "text", max_hamming=3, hash_fn="fast"
+    )
+
+
 def q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video modality: frame sampling (every 2nd frame, random access into
     the container) with a deterministic per-frame fingerprint — sampled
@@ -621,6 +644,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_groups": q_dedup_groups,
         "minhash_pairs_documents": q_minhash_pairs_documents,
         "simhash_pairs_documents": q_simhash_pairs_documents,
+        "simhash_fast_documents": q_simhash_fast_documents,
         "embedding_neardup": q_embedding_neardup,
         "knn_bruteforce": q_knn_bruteforce,
         "srp_ann": q_srp_ann,
@@ -1233,7 +1257,10 @@ def _multimodal_oracle_sqls() -> dict[str, str]:
 
     out_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".oracle_truth")
     vcfg = ImageValidatorConfig(drift=_DC(w=200, slide=50, r=40.0, k=6))
-    paths = ensure_truth(out_dir, _image_cfg(), vcfg, MEDIA_N, 11, 2)
+    paths = ensure_truth(
+        out_dir, _image_cfg(), vcfg, MEDIA_N, 11, 2,
+        simhash_n=SIMHASH_FAST_N, simhash_seed=11, simhash_max_hamming=3,
+    )
     return {
         "image_partition_verdicts": f"""
 select fmt, n_rows, n_row_violations,
@@ -1258,6 +1285,10 @@ from read_parquet('{paths["audio"]}') order by audio_id
         "video_frames": f"""
 select video_id, frame_idx, w, h, frame_fp
 from read_parquet('{paths["video"]}') order by video_id, frame_idx
+""",
+        "simhash_fast_documents": f"""
+select id_a, id_b, hamming
+from read_parquet('{paths["simhash_fast"]}') order by id_a, id_b
 """,
     }
 

@@ -135,16 +135,18 @@ def lsh_neighbor_pairs(
     order — the deterministic analog of the reference's bucket eviction
     (/root/reference/src/core/lsh/HashTable.java:22-35); dropped members can
     only lower neighbor counts, so capped output stays a superset of what a
-    capped reference table would produce. KNOWN recall trade when capped:
-    the min-table dedupe keeps a pair only at the first table whose KEYS
-    collide, so if a member was thinned out of that first bucket the pair
-    is also suppressed at later tables where both members survived (the
-    keys still collide there). The reference's HashSet union would find it
-    at the later table; our capped variant loses it. No detector config
-    sets bucket_cap (default None = exact union semantics); if capping is
-    ever enabled at scale, this is a documented extra recall loss, not a
-    correctness bug (same failure direction as any candidate miss — counts
-    only drop, outlier sets stay supersets).
+    capped reference table would produce. When capped, the min-table dedupe
+    is SURVIVOR-RESTRICTED: each exploded row carries a bitmask of the
+    tables its point survived the cap in, and a pair is owned by the first
+    table where the keys collide AND both members survived — exactly the
+    reference's HashSet union over capped tables
+    (/root/reference/src/core/lsh/HashTable.java:81-101 finds the pair at
+    the later table when one member was evicted from the earlier bucket).
+    Without the mask, a pair whose member was thinned out of its
+    first-colliding bucket would be suppressed at every later table too
+    (the keys still collide there) — an extra recall loss the r3 review
+    flagged. Uncapped (the default; no detector config caps) the mask is
+    skipped entirely and the predicate is the pure key comparison.
     """
     from pyspark.sql.window import Window
 
@@ -173,11 +175,19 @@ def lsh_neighbor_pairs(
             .where(F.col("_rn") <= bucket_cap)
             .drop("_rn")
         )
+        # per-(id, block) survival bitmask over tables — feeds the
+        # survivor-restricted min-table dedupe (docstring)
+        surv = keyed.groupBy("id", "g").agg(
+            F.sum(F.expr("shiftleft(cast(1 as bigint), t)")).alias("_sm")
+        )
+        keyed = keyed.join(surv, ["id", "g"])
+    mask_cols = [F.col("_sm").alias("xm")] if bucket_cap is not None else []
     x = keyed.select(
         F.col("id").alias("i"),
         F.col("slide").alias("slide_i"),
         F.col("features").alias("f_i"),
         F.col("buckets").alias("xb"),
+        *mask_cols,
         "t",
         "key",
         "g",
@@ -191,6 +201,7 @@ def lsh_neighbor_pairs(
         F.col("slide").alias("slide_j"),
         F.col("features").alias("f_j"),
         F.col("buckets").alias("yb"),
+        *([F.col("_sm").alias("ym")] if bucket_cap is not None else []),
         "t",
         "key",
     ]
@@ -207,6 +218,14 @@ def lsh_neighbor_pairs(
     collided_earlier = None
     for tp in range(cfg.num_tables - 1):
         c = (F.col("t") > tp) & (F.col("xb")[tp] == F.col("yb")[tp])
+        if bucket_cap is not None:
+            # survivor restriction: the earlier table only owns the pair
+            # if BOTH members survived its cap there
+            c = (
+                c
+                & (F.shiftright(F.col("xm"), tp).bitwiseAND(F.lit(1)) == 1)
+                & (F.shiftright(F.col("ym"), tp).bitwiseAND(F.lit(1)) == 1)
+            )
         collided_earlier = c if collided_earlier is None else (collided_earlier | c)
     first_collision = (
         ~collided_earlier if collided_earlier is not None else F.lit(True)
@@ -310,6 +329,12 @@ def lsh_neighbor_counts(
             .where(F.col("_rn") <= bucket_cap)
             .drop("_rn")
         )
+        # survival bitmask for the survivor-restricted min-table dedupe —
+        # same semantics as lsh_neighbor_pairs (see its docstring)
+        surv = keyed.groupBy("id", "g").agg(
+            F.sum(F.expr("shiftleft(cast(1 as bigint), t)")).alias("sm")
+        )
+        keyed = keyed.join(surv, ["id", "g"])
     # home row in its own block; guest row fanned to the previous block —
     # cross-block pairs are counted in the lower block's group exactly once
     fanned = keyed.withColumn("home", F.lit(True)).unionByName(
@@ -350,6 +375,11 @@ def lsh_neighbor_counts(
         id_arr0 = tbl.column("id").to_numpy(zero_copy_only=False)
         slide_arr0 = tbl.column("slide").to_numpy(zero_copy_only=False)
         home_arr0 = tbl.column("home").to_numpy(zero_copy_only=False)
+        sm_arr0 = (
+            tbl.column("sm").to_numpy(zero_copy_only=False)
+            if "sm" in tbl.schema.names
+            else np.full(tbl.num_rows, -1, dtype=np.int64)
+        )
         # sort by (t, key, g, id): groups contiguous AND rows id-ascending
         # within each group, so slide (monotone in id) is sorted and each
         # neighbor-slide bin is a contiguous column range (the cumsum
@@ -359,6 +389,7 @@ def lsh_neighbor_counts(
         ids_all = id_arr0[order]
         slides_all = slide_arr0[order]
         home_all = home_arr0[order]
+        sm_all = sm_arr0[order]
         feats_all = feats_mat[order]
         hk_all = hk_mat[order]
         changed = (
@@ -395,14 +426,22 @@ def lsh_neighbor_counts(
                 # factorizing each earlier table's m-int key rows to one
                 # label (void-dtype unique — exact equality, no hashing)
                 # turns the m component-equality planes per table into ONE
-                # label plane (the former loop scanned t*m full planes)
+                # label plane (the former loop scanned t*m full planes).
+                # Survivor restriction (capped runs): an earlier table
+                # only owns the pair if BOTH members survived its cap —
+                # sm is all-ones when uncapped, making the extra term a
+                # no-op (semantics identical to lsh_neighbor_pairs).
                 K = hk_all[b0:b1].reshape(n, L, m)
+                sm = sm_all[b0:b1]
                 eq = np.empty((n, n), dtype=bool)
                 for tp in range(t):
                     rows = np.ascontiguousarray(K[:, tp, :])
                     void = rows.view([("", rows.dtype)] * m).ravel()
                     _, labels = np.unique(void, return_inverse=True)
                     np.not_equal(labels[:, None], labels[None, :], out=eq)
+                    if bucket_cap is not None:  # skip the extra planes uncapped
+                        both = ((sm >> tp) & 1).astype(bool)
+                        eq |= ~(both[:, None] & both[None, :])
                     M &= eq
             # bin counts by contiguous slide ranges: two padded cumsums
             # (all / home-only columns), guest rows read the home-only one

@@ -467,6 +467,59 @@ def video_truth(n: int, seed: int, every_k: int) -> list[dict]:
     return out
 
 
+def simhash_fast_truth(n: int, seed: int, max_hamming: int = 3) -> list[dict]:
+    """Expected (id_a, id_b, hamming) pairs of the production ``fast``
+    SimHash tier over the planted near-dup corpus
+    (sources/documents.py::doc_text) — computed by a SEQUENTIAL pure-
+    Python-int replay of the signature definition (packed codepoint
+    trigrams -> splitmix64 -> 60-bit bit-majority) plus an all-pairs
+    popcount. The Spark side computes signatures in vectorized uint64
+    NumPy and candidates through the 4-piece pigeonhole equi-join
+    (lossless for hamming <= 3), so any vectorization or join bug
+    diverges from this scalar truth."""
+    from ..sources.documents import doc_text
+
+    M64 = (1 << 64) - 1
+    MIX1, MIX2 = 0xBF58476D1CE4E5B9, 0x94D049BB133111EB
+    bits_n = 60
+
+    def signature(text: str) -> int | None:
+        if len(text) < 3:
+            return None
+        packed = {
+            (ord(text[i]) << 42) | (ord(text[i + 1]) << 21) | ord(text[i + 2])
+            for i in range(len(text) - 2)
+        }
+        hs = []
+        for h in packed:
+            h = ((h ^ (h >> 30)) * MIX1) & M64
+            h = ((h ^ (h >> 27)) * MIX2) & M64
+            h ^= h >> 31
+            hs.append(h & ((1 << bits_n) - 1))
+        sig = 0
+        for b in range(bits_n):
+            cnt = sum((h >> b) & 1 for h in hs)
+            if 2 * cnt - len(hs) > 0:
+                sig |= 1 << b
+        return sig
+
+    sigs = []
+    for i in range(n):
+        s = signature(doc_text(seed, i))
+        if s is not None:
+            sigs.append((i, s))
+    out = []
+    for x in range(len(sigs)):
+        ia, sa = sigs[x]
+        for y in range(x + 1, len(sigs)):
+            ib, sb = sigs[y]
+            d = (sa ^ sb).bit_count()
+            if d <= max_hamming:
+                out.append({"id_a": ia, "id_b": ib, "hamming": d})
+    out.sort(key=lambda r: (r["id_a"], r["id_b"]))
+    return out
+
+
 # ---------------------------------------------------------------------------
 # parquet persistence (driver-side, cached by config fingerprint)
 # ---------------------------------------------------------------------------
@@ -479,6 +532,9 @@ def ensure_truth(
     media_n: int,
     media_seed: int,
     every_k: int,
+    simhash_n: int = 1000,
+    simhash_seed: int = 11,
+    simhash_max_hamming: int = 3,
 ) -> dict[str, str]:
     """Write (once per config) the truth parquet side tables the DuckDB
     oracle reads; returns {name: absolute path}. Pure driver-side Python —
@@ -499,6 +555,7 @@ def ensure_truth(
                 vcfg.drift_l1_limit,
             ],
             "media": [media_n, media_seed, every_k],
+            "simhash": [simhash_n, simhash_seed, simhash_max_hamming],
             "rev": 2,  # 2 = standalone re-derivation (no operators/functions imports)
         },
         sort_keys=True,
@@ -508,7 +565,9 @@ def ensure_truth(
     stamp = os.path.join(out_dir, "fingerprint.json")
     paths = {
         name: os.path.join(out_dir, f"{name}.parquet")
-        for name in ("violations", "verdicts", "drift", "audio", "video")
+        for name in (
+            "violations", "verdicts", "drift", "audio", "video", "simhash_fast"
+        )
     }
     if os.path.exists(stamp) and open(stamp).read() == fp and all(
         os.path.exists(p) for p in paths.values()
@@ -573,6 +632,13 @@ def ensure_truth(
                 ("h", pa.int32()),
                 ("frame_fp", pa.int64()),
             ]
+        ),
+    )
+    write(
+        "simhash_fast",
+        simhash_fast_truth(simhash_n, simhash_seed, simhash_max_hamming),
+        pa.schema(
+            [("id_a", pa.int64()), ("id_b", pa.int64()), ("hamming", pa.int64())]
         ),
     )
     with open(stamp, "w") as fh:
