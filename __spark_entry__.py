@@ -88,7 +88,30 @@ def _n_events(sf_dir: str) -> int:
             if os.path.isdir(path)
             else [path]
         )
-        n = sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+        n = 0
+        max_id = None
+        for f in files:
+            md = pq.ParquetFile(f).metadata
+            n += md.num_rows
+            try:
+                idx = md.schema.to_arrow_schema().get_field_index("event_id")
+                for rg in range(md.num_row_groups):
+                    st = md.row_group(rg).column(idx).statistics
+                    if st is None or not st.has_min_max:
+                        raise ValueError("no stats")
+                    max_id = st.max if max_id is None else max(max_id, st.max)
+            except Exception:
+                max_id = None
+                break
+        # the row count only equals n_total when event_id is contiguous
+        # 0-based (ADVICE r3): validate from footer column statistics and
+        # refuse silently-wrong detector output otherwise
+        if max_id is not None and max_id + 1 != n:
+            raise ValueError(
+                f"events table at {sf_dir}: max(event_id)+1 == {max_id + 1} "
+                f"!= row count {n}; ids are not contiguous 0-based and the "
+                "footer-count shortcut would mis-size the detector"
+            )
         _N_EVENTS[sf_dir] = n
     return n
 

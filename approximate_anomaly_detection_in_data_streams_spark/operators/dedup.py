@@ -36,8 +36,16 @@ from pyspark.sql import functions as F
 # its signature stage (two consumers), and a lazily-built plan gives no
 # hook to unpersist when the consumer finishes — so each new call releases
 # the previous call's table instead (bench reps / repeated notebook calls
-# hold at most ONE signature table, not a monotone leak).
+# hold at most ONE signature table, not a monotone leak). CONTRACT
+# (ADVICE r3): execute a minhash_lsh_pairs plan before building the next
+# one — a plan built while an earlier one is still unexecuted loses that
+# plan's persist and recomputes its signature stage once per consumer
+# (correct, just slower). The lock keeps the release itself safe under
+# threaded callers (e.g. bench's ThreadPoolExecutor sinks).
+import threading as _threading
+
 _LIVE_SIG: list[DataFrame] = []
+_LIVE_SIG_LOCK = _threading.Lock()
 
 
 def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -252,10 +260,11 @@ def minhash_lsh_pairs(
     # and the fan-out join — without the persist the map-only signature
     # kernel would run once per consumer. Previous calls' tables are
     # released here (see _LIVE_SIG).
-    while _LIVE_SIG:
-        _LIVE_SIG.pop().unpersist()
     sig = minhash_signatures(df, id_col, text_col, n, num_perm, seed).persist()
-    _LIVE_SIG.append(sig)
+    with _LIVE_SIG_LOCK:
+        while _LIVE_SIG:
+            _LIVE_SIG.pop().unpersist()
+        _LIVE_SIG.append(sig)
     # The estimate kernel never needs the full 64-bit minima — only which
     # components AGREE. A 1-byte/perm sketch (low byte of each minimum,
     # shifted into tinyint range; equal minima => equal bytes, so sketch

@@ -486,7 +486,12 @@ def decode_digests_parquet(
                 tbl = pq.ParquetFile(fp).read_row_group(rg, columns=cols)
                 # ordinal from trailing digits of image_id — the same
                 # regexp_extract(...).cast("long") the DataFrame path
-                # applies JVM-side (no match -> null on both paths)
+                # applies JVM-side (no match -> null on both paths).
+                # Overflow parity (ADVICE r3): pc.cast raises on a >19-digit
+                # ordinal, and so does the DataFrame path — the session
+                # runs ANSI mode (spark.sql.ansi.enabled=true, Spark 4
+                # default), where CAST_INVALID_INPUT fails the task the
+                # same way. Both paths fail loudly; neither nulls.
                 ids = tbl.column("image_id").combine_chunks()
                 ord_ = pc.cast(
                     pc.struct_field(
@@ -680,12 +685,25 @@ def row_checks_and_features(
 
     Output schema matches the exhaustive path (CHECK_SCHEMA + ordinal,
     features); ``psnr`` is NaN where the digest agreed (not computed).
+
+    ``payload_path`` requires ``images`` to be the UNFILTERED read of that
+    parquet directory (digests come from the raw files; a filtered or
+    projected DataFrame would silently disagree) and is mutually exclusive
+    with ``ordinal_col``.
     """
     # payload_path: the input is a parquet directory — take the
     # payload-local scan (bytes never cross the JVM; see
     # decode_digests_parquet). `images` still backs the psnr_verify
     # disagreement subset, where the JVM semi-join prunes rows before IPC.
+    # The scan reads the RAW files, so it cannot honor a custom ordinal
+    # column or any filter/projection applied to `images` — refuse the
+    # combination instead of silently digesting excluded rows (ADVICE r3).
     if payload_path is not None:
+        if ordinal_col is not None:
+            raise ValueError(
+                "payload_path digests come from the raw parquet files and "
+                "ignore ordinal_col; pass one or the other"
+            )
         digests = decode_digests_parquet(images.sparkSession, payload_path)
     else:
         digests = decode_digests(images, ordinal_col)

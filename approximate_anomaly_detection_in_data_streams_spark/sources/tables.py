@@ -33,8 +33,13 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def iceberg_available(spark: SparkSession) -> bool:
+    # NOTE: a bare `spark._jvm.org.apache.iceberg.Table` attribute probe is
+    # WRONG — py4j resolves missing classes to a lazy JavaPackage without
+    # raising, so it reports available on every JVM (latent r3 bug, caught
+    # by tests/test_snapshot_resume.py). Class.forName actually loads the
+    # class and raises through py4j when the runtime jar is absent.
     try:
-        spark._jvm.org.apache.iceberg.Table  # noqa: B018
+        spark._jvm.java.lang.Class.forName("org.apache.iceberg.Table")
         return True
     except Exception:
         return False

@@ -114,13 +114,28 @@ def run_one(cores: int, img_path: str, ref_path: str) -> None:
     import glob
     import shutil
 
+    # warm dirs are keyed by the SOURCE's file list + sizes so a stale
+    # copy from an earlier run with a different dataset (e.g. --quick
+    # then full) is rebuilt instead of silently reused (ADVICE r3)
+    def _src_key(src: str) -> str:
+        files = sorted(glob.glob(os.path.join(src, "*.parquet")))
+        return repr([(os.path.basename(f), os.path.getsize(f)) for f in files])
+
     warm_img = img_path.rstrip("/") + ".warm"
     warm_ref = ref_path.rstrip("/") + ".warm"
     for src, dst in ((img_path, warm_img), (ref_path, warm_ref)):
+        stamp = os.path.join(dst, ".src_key")
+        key = _src_key(src)
+        if os.path.exists(dst) and (
+            not os.path.exists(stamp) or open(stamp).read() != key
+        ):
+            shutil.rmtree(dst)
         if not os.path.exists(dst):
             os.makedirs(dst)
             for f in sorted(glob.glob(os.path.join(src, "*.parquet")))[:4]:
                 shutil.copy(f, dst)
+            with open(stamp, "w") as fh:
+                fh.write(key)
     warm_report = validate_images(
         spark.read.parquet(warm_img),
         spark.read.parquet(warm_ref),
