@@ -88,7 +88,7 @@ def _counts_emit(
     home: np.ndarray,
     r2: float,
     max_slide_gap: int,
-) -> pd.DataFrame:
+) -> list[tuple[np.ndarray, ...]]:
     """Per-point neighbor counts binned by the neighbor's slide.
 
     The downstream aggregations (A1/A2: count_after / preceding-neighbor
@@ -104,6 +104,13 @@ def _counts_emit(
         pairs are home-home in the next block's group).
     ``c_arr`` bins the subset with neighbor id < owner id (arrival-moment
     counts, /root/reference/src/algorithms/MCOD.java:302-317).
+
+    Returns a list of (i, slide_i, slide_j, c, c_arr) ndarray tuples — the
+    caller concatenates ONCE per partition and emits one Arrow batch.
+    Building a pandas DataFrame per W-sized block (2,500 of them per 1M
+    points) was ~2/3 of the kernel's Python time, and the per-block
+    allocation churn is exactly the concurrent-allocation pattern this
+    guest anti-scales on (BENCH.md round-3 allocator forensics).
     """
     n = len(ids)
     # Bin counts via ONE padded row-cumsum instead of per-bin mask scans:
@@ -120,7 +127,7 @@ def _counts_emit(
         X, ids, slides, home = X[order], ids[order], slides[order], home[order]
     sq = np.einsum("ij,ij->i", X, X)
     n_bins = 2 * max_slide_gap + 1
-    out: list[pd.DataFrame] = []
+    out: list[tuple[np.ndarray, ...]] = []
     # column boundaries per bin offset: for row slide si, bin b covers
     # sj = si + b - max_gap; with ids (hence slides) ascending, columns
     # with slide == sj are slides[lo:hi]
@@ -153,27 +160,15 @@ def _counts_emit(
             c_arr[:, b] = cs[rr, np.minimum(hi, fp)] - cs[rr, np.minimum(lo, fp)]
         ri, bi = np.nonzero(c)
         out.append(
-            pd.DataFrame(
-                {
-                    "i": ids[rows[ri]],
-                    "slide_i": slides[rows[ri]],
-                    "slide_j": slides[rows[ri]] + (bi - max_slide_gap),
-                    "c": c[ri, bi],
-                    "c_arr": c_arr[ri, bi],
-                }
+            (
+                ids[rows[ri]],
+                slides[rows[ri]],
+                slides[rows[ri]] + (bi - max_slide_gap),
+                c[ri, bi],
+                c_arr[ri, bi],
             )
         )
-    if not out:
-        return pd.DataFrame(
-            {
-                "i": pd.Series(dtype="int64"),
-                "slide_i": pd.Series(dtype="int64"),
-                "slide_j": pd.Series(dtype="int64"),
-                "c": pd.Series(dtype="int64"),
-                "c_arr": pd.Series(dtype="int64"),
-            }
-        )
-    return pd.concat(out, ignore_index=True)
+    return out
 
 
 def exact_neighbor_counts(
@@ -239,15 +234,27 @@ def exact_neighbor_counts(
         X_all = X_all[order]
         bounds = np.flatnonzero(np.concatenate(([True], g_arr[1:] != g_arr[:-1])))
         bounds = np.append(bounds, len(g_arr))
+        parts: list[tuple[np.ndarray, ...]] = []
         for b0, b1 in zip(bounds[:-1], bounds[1:]):
             if b1 - b0 < 2:
                 continue
-            out = _counts_emit(
-                X_all[b0:b1], id_arr[b0:b1], slides_all[b0:b1],
-                home_all[b0:b1], r2, max_gap,
+            parts.extend(
+                _counts_emit(
+                    X_all[b0:b1], id_arr[b0:b1], slides_all[b0:b1],
+                    home_all[b0:b1], r2, max_gap,
+                )
             )
-            if len(out):
-                yield pa.RecordBatch.from_pandas(out, preserve_index=False)
+        if parts:
+            cols = [np.concatenate([p[k] for p in parts]) for k in range(5)]
+            yield pa.RecordBatch.from_pydict(
+                {
+                    "i": pa.array(cols[0], type=pa.int64()),
+                    "slide_i": pa.array(cols[1], type=pa.int64()),
+                    "slide_j": pa.array(cols[2], type=pa.int64()),
+                    "c": pa.array(cols[3], type=pa.int64()),
+                    "c_arr": pa.array(cols[4], type=pa.int64()),
+                }
+            )
 
     sp = int(
         points_with_slide.sparkSession.conf.get("spark.sql.shuffle.partitions", "64")

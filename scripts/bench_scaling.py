@@ -59,6 +59,109 @@ def materialize(n: int) -> tuple[str, str]:
     return img_path, ref_path
 
 
+def materialize_features(n: int) -> str:
+    """Decode-derived feature table (image_id, ordinal, features) written
+    once at full width — input for the compute-bound detector-only leg."""
+    from approximate_anomaly_detection_in_data_streams_spark.config import (
+        DetectorConfig,
+    )
+    from approximate_anomaly_detection_in_data_streams_spark.session import get_spark
+    from approximate_anomaly_detection_in_data_streams_spark.validator import (
+        ImageValidatorConfig,
+        validate_images,
+    )
+
+    feat_path = os.path.join(WORKDIR, f"features_{n}_s{SIZE_SCALE}.parquet")
+    if os.path.exists(feat_path):
+        return feat_path
+    img_path, ref_path = materialize(n)
+    spark = get_spark(app_name="aads-scaling-feat", cores=32)
+    vcfg = ImageValidatorConfig(drift=DetectorConfig(w=400, slide=100, r=40.0, k=6))
+    report = validate_images(
+        spark.read.parquet(img_path),
+        spark.read.parquet(ref_path),
+        vcfg,
+        payload_path=img_path,
+    )
+    report.features.repartition(128).write.mode("overwrite").parquet(feat_path)
+    spark.stop()
+    return feat_path
+
+
+def run_one_detector(cores: int, feat_path: str) -> None:
+    """Compute-bound leg (north_rule evidence, r3 verdict #3a): the
+    windowed distance-outlier detector + drift + anomaly-join sinks over
+    PRE-DECODED features — no image payload, no decode, so the measured
+    scaling isolates the distributed plan shape from the guest VM's
+    decode memory-bandwidth ceiling (BENCH.md round-3 forensics)."""
+    from approximate_anomaly_detection_in_data_streams_spark.config import (
+        DetectorConfig,
+    )
+    from approximate_anomaly_detection_in_data_streams_spark.operators.detector import (
+        detect,
+    )
+    from approximate_anomaly_detection_in_data_streams_spark.session import get_spark
+    from approximate_anomaly_detection_in_data_streams_spark.validator import (
+        profile_drift_slides,
+    )
+    from pyspark.sql import functions as F
+
+    spark = get_spark(
+        app_name=f"aads-scaling-det-{cores}",
+        cores=cores,
+        shuffle_partitions=2 * cores,
+        driver_memory="24g",
+        extra={
+            "spark.sql.files.maxPartitionBytes": str(8 * 1024 * 1024),
+            "spark.sql.files.openCostInBytes": "131072",
+        },
+    )
+    dcfg = DetectorConfig(w=400, slide=100, r=40.0, k=6)
+
+    def warm_udf(it):
+        import numpy  # noqa: F401
+        import pandas  # noqa: F401
+
+        yield from it
+
+    feats = spark.read.parquet(feat_path)
+    n_rows = feats.count()
+    spark.range(0, cores * 8, 1, cores * 8).mapInPandas(warm_udf, "id long").count()
+
+    def pipeline(src):
+        points = src.select((F.col("ordinal") + 1).alias("id"), "features")
+        det = detect(points, dcfg).outliers
+        anomalies = det.join(
+            src.select((F.col("ordinal") + 1).alias("id"), "image_id"), "id"
+        ).select("image_id", (F.col("id") - 1).alias("ordinal"))
+        drift = profile_drift_slides(src, 50, 45.0)
+        return anomalies, drift
+
+    # untimed warm pass over a contiguous ~3% prefix (JIT/codegen outside
+    # the timed region — same protocol as the full-pipeline leg)
+    for df in pipeline(feats.where(F.col("ordinal") < max(n_rows // 32, 2000))):
+        df.write.format("noop").mode("overwrite").save()
+    spark.catalog.clearCache()
+
+    t0 = time.perf_counter()
+    anomalies, drift = pipeline(feats)
+    anomalies.write.format("noop").mode("overwrite").save()
+    t_anom = time.perf_counter()
+    drift.write.format("noop").mode("overwrite").save()
+    t1 = time.perf_counter()
+    spark.stop()
+    print(
+        json.dumps(
+            {
+                "wall": t1 - t0,
+                "wall_row_checks": t_anom - t0,  # detector+anomaly join
+                "wall_features": 0.0,
+                "wall_sinks": t1 - t_anom,  # drift aggregation
+            }
+        )
+    )
+
+
 def run_one(cores: int, img_path: str, ref_path: str) -> None:
     """Timed validation inside a taskset-pinned subprocess; prints seconds."""
     from concurrent.futures import ThreadPoolExecutor
@@ -199,12 +302,15 @@ def run_one(cores: int, img_path: str, ref_path: str) -> None:
     )
 
 
-def pinned_once(cores: int, img_path: str, ref_path: str) -> dict[str, float]:
+def pinned_once(
+    cores: int, img_path: str, ref_path: str, stage: str = "full"
+) -> dict[str, float]:
     cpus = f"0-{cores - 1}"
+    mode = "--run-one-detector" if stage == "detector" else "--run-one"
     out = subprocess.run(
         [
             "taskset", "-c", cpus, sys.executable, os.path.abspath(__file__),
-            "--run-one", str(cores), img_path, ref_path,
+            mode, str(cores), img_path, ref_path,
         ],
         capture_output=True, text=True, check=True,
     )
@@ -214,7 +320,7 @@ def pinned_once(cores: int, img_path: str, ref_path: str) -> dict[str, float]:
 
 
 def interleaved_runs(
-    lo: int, hi: int, img_path: str, ref_path: str, reps: int = 2
+    lo: int, hi: int, img_path: str, ref_path: str, reps: int = 2, stage: str = "full"
 ) -> tuple[dict[str, float], dict[str, float]]:
     """Best-of-``reps`` per leg, legs INTERLEAVED (lo, hi, lo, hi, ...).
 
@@ -228,8 +334,8 @@ def interleaved_runs(
     machine, not the noise."""
     lo_runs, hi_runs = [], []
     for _ in range(reps):
-        lo_runs.append(pinned_once(lo, img_path, ref_path))
-        hi_runs.append(pinned_once(hi, img_path, ref_path))
+        lo_runs.append(pinned_once(lo, img_path, ref_path, stage))
+        hi_runs.append(pinned_once(hi, img_path, ref_path, stage))
     return (
         min(lo_runs, key=lambda r: r["wall"]),
         min(hi_runs, key=lambda r: r["wall"]),
@@ -240,9 +346,13 @@ def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "--run-one":
         run_one(int(sys.argv[2]), sys.argv[3], sys.argv[4])
         return
+    if len(sys.argv) > 1 and sys.argv[1] == "--run-one-detector":
+        run_one_detector(int(sys.argv[2]), sys.argv[3])
+        return
     n = 300_000
     lo, hi = 8, 32
     reps = 2
+    stage = "full"
     for a in sys.argv[1:]:
         if a == "--quick":
             n = 40_000
@@ -250,12 +360,18 @@ def main() -> None:
             lo, hi = (int(x) for x in a.split("=")[1].split(","))
         elif a.startswith("--reps="):
             reps = int(a.split("=")[1])
+        elif a.startswith("--stage="):
+            stage = a.split("=")[1]
         elif a.isdigit():
             n = int(a)
     os.makedirs(WORKDIR, exist_ok=True)
-    img_path, ref_path = materialize(n)
+    if stage == "detector":
+        img_path = materialize_features(n)
+        ref_path = "-"
+    else:
+        img_path, ref_path = materialize(n)
 
-    best_lo, best_hi = interleaved_runs(lo, hi, img_path, ref_path, reps)
+    best_lo, best_hi = interleaved_runs(lo, hi, img_path, ref_path, reps, stage)
     t_lo, t_hi = best_lo["wall"], best_hi["wall"]
     thr_lo = n / t_lo
     thr_hi = n / t_hi
@@ -263,6 +379,7 @@ def main() -> None:
     eff = thr_hi / (factor * thr_lo)
     result = {
         "n_images": n,
+        "stage": stage,
         "cpus": [lo, hi],
         f"wall_s_{lo}cpu": round(t_lo, 2),
         f"wall_s_{hi}cpu": round(t_hi, 2),
@@ -272,22 +389,22 @@ def main() -> None:
         "scaling_efficiency": round(eff, 3),
         "target": ">= 0.8",
         "stages": {
-            stage: {
-                f"{lo}cpu": round(best_lo[f"wall_{stage}"], 2),
-                f"{hi}cpu": round(best_hi[f"wall_{stage}"], 2),
+            st: {
+                f"{lo}cpu": round(best_lo[f"wall_{st}"], 2),
+                f"{hi}cpu": round(best_hi[f"wall_{st}"], 2),
                 "efficiency": round(
-                    best_lo[f"wall_{stage}"]
-                    / (factor * best_hi[f"wall_{stage}"]),
-                    3,
+                    best_lo[f"wall_{st}"] / (factor * best_hi[f"wall_{st}"]), 3
                 ),
             }
-            for stage in ("row_checks", "features", "sinks")
+            for st in ("row_checks", "features", "sinks")
+            if best_hi[f"wall_{st}"] > 0
         },
     }
     print(json.dumps(result))
     with open("BENCH.md", "a") as fh:
         fh.write(
-            f"\n| {n} | {lo}->{hi} | {result[f'wall_s_{lo}cpu']} | "
+            f"\n| {n}{' (detector-only)' if stage == 'detector' else ''} | "
+            f"{lo}->{hi} | {result[f'wall_s_{lo}cpu']} | "
             f"{result[f'wall_s_{hi}cpu']} | {result[f'images_per_s_{lo}cpu']} | "
             f"{result[f'images_per_s_{hi}cpu']} | {result['scaling_efficiency']} |"
         )
