@@ -113,61 +113,92 @@ def _counts_emit(
     guest anti-scales on (BENCH.md round-3 allocator forensics).
     """
     n = len(ids)
-    # Bin counts via ONE padded row-cumsum instead of per-bin mask scans:
-    # rows arrive sorted by id, and slide = (id-1)//S + 1 is monotone in
-    # id, so the columns belonging to neighbor-slide sj form a CONTIGUOUS
-    # range [lo(sj), hi(sj)) — each bin is then a difference of two
-    # cumsum gathers. The former formulation re-scanned the full boolean
-    # matrix 4x per bin (28 passes at ws=4); this one touches it twice
-    # (one cumsum per home/all variant), which matters because these
-    # masks, not the BLAS distances, dominated the kernel's memory
-    # traffic (BENCH.md round-3 forensics).
+    # SLIDE-GROUPED bin counting: rows arrive sorted by id, and slide =
+    # (id-1)//S + 1 is monotone in id, so (a) every row of one slide
+    # shares the same per-bin column ranges [lo(sj), hi(sj)), and (b) the
+    # home rows form a prefix of the id-sorted group (guest rows belong to
+    # the NEXT block, whose ids are all larger). Per slide group the bins
+    # partition a contiguous column span, so the counts are per-bin SLICE
+    # SUMS — one read-only pass over the boolean plane — instead of the
+    # former two padded m x (n+1) int32 row-cumsums (write+read traffic
+    # that dominated the kernel, and the np.where(home) plane the
+    # guest-row variant added on top). The distance plane itself is also
+    # clamped to the group's bin span (guest groups: the home prefix
+    # only), which keeps it cache-resident at typical slide sizes.
     order = np.argsort(ids, kind="stable")
     if not np.array_equal(order, np.arange(n)):
         X, ids, slides, home = X[order], ids[order], slides[order], home[order]
     sq = np.einsum("ij,ij->i", X, X)
     n_bins = 2 * max_slide_gap + 1
     out: list[tuple[np.ndarray, ...]] = []
-    # column boundaries per bin offset: for row slide si, bin b covers
-    # sj = si + b - max_gap; with ids (hence slides) ascending, columns
-    # with slide == sj are slides[lo:hi]
-    bin_offsets = np.arange(n_bins) - max_slide_gap
+    n_home = int(home.sum())
+    if n_home and not home[:n_home].all():
+        # structural invariant of the banded block layout (home = own
+        # block, guest = next block's ids, blocks partition slides)
+        raise AssertionError("home rows must form an id-sorted prefix")
     # first position of each row's own id (strict ids[j] < ids[i] bound —
     # NOT the row position: duplicate ids must exclude each other)
-    for start in range(0, n, CHUNK):
-        rows = np.arange(start, min(start + CHUNK, n))
-        m = len(rows)
-        d2 = sq[rows, None] + sq[None, :] - 2.0 * (X[rows] @ X.T)
-        msk = d2 <= r2
-        msk[np.arange(m), rows] = False  # no self-pairs
-        cs_all = np.zeros((m, n + 1), dtype=np.int32)
-        np.cumsum(msk, axis=1, out=cs_all[:, 1:], dtype=np.int32)
-        np.logical_and(msk, home[None, :], out=msk)
-        cs_home = np.zeros((m, n + 1), dtype=np.int32)
-        np.cumsum(msk, axis=1, out=cs_home[:, 1:], dtype=np.int32)
-        # guest rows count HOME neighbors only (their guest-guest pairs
-        # are home-home in the next block's group)
-        cs = np.where(home[rows, None], cs_all, cs_home)
-        fp = np.searchsorted(ids, ids[rows], side="left")
-        rr = np.arange(m)
-        c = np.empty((m, n_bins), dtype=np.int64)
-        c_arr = np.empty((m, n_bins), dtype=np.int64)
-        for b in range(n_bins):
-            sj = slides[rows] + bin_offsets[b]
-            lo = np.searchsorted(slides, sj, side="left")
-            hi = np.searchsorted(slides, sj, side="right")
-            c[:, b] = cs[rr, hi] - cs[rr, lo]
-            c_arr[:, b] = cs[rr, np.minimum(hi, fp)] - cs[rr, np.minimum(lo, fp)]
-        ri, bi = np.nonzero(c)
-        out.append(
-            (
-                ids[rows[ri]],
-                slides[rows[ri]],
-                slides[rows[ri]] + (bi - max_slide_gap),
-                c[ri, bi],
-                c_arr[ri, bi],
-            )
+    fp_all = np.searchsorted(ids, ids, side="left")
+    sg = np.flatnonzero(np.concatenate(([True], slides[1:] != slides[:-1])))
+    sg = np.append(sg, n)
+    for s0, s1 in zip(sg[:-1], sg[1:]):
+        si = int(slides[s0])
+        # a slide lives in exactly one block, so a slide group is purely
+        # home or purely guest; guest rows count HOME neighbors only
+        # (their guest-guest pairs are home-home in the next block's
+        # group) — an edge clamp to the home prefix, not a masked pass
+        guest = s0 >= n_home
+        edges = np.searchsorted(
+            slides, np.arange(si - max_slide_gap, si + max_slide_gap + 2)
         )
+        if guest:
+            edges = np.minimum(edges, n_home)
+        col0, col1 = int(edges[0]), int(edges[-1])
+        if col1 <= col0:
+            continue
+        lo_own = int(edges[max_slide_gap]) - col0
+        hi_own = int(edges[max_slide_gap + 1]) - col0
+        Xc = X[col0:col1]
+        sqc = sq[col0:col1]
+        for c0 in range(s0, s1, CHUNK):
+            c1 = min(c0 + CHUNK, s1)
+            rows = np.arange(c0, c1)
+            m = len(rows)
+            # exact (unchanged) distance arithmetic — the oracle twins
+            # reproduce this identity bit-for-bit
+            d2 = sq[rows, None] + sqc[None, :] - 2.0 * (X[rows] @ Xc.T)
+            msk = d2 <= r2
+            if not guest:  # guest rows' own column is outside the clamp
+                msk[np.arange(m), rows - col0] = False  # no self-pairs
+            c = np.zeros((m, n_bins), dtype=np.int64)
+            for b in range(n_bins):
+                b0, b1 = int(edges[b]) - col0, int(edges[b + 1]) - col0
+                if b1 > b0:
+                    c[:, b] = msk[:, b0:b1].sum(axis=1, dtype=np.int64)
+            # c_arr (strict id_j < id_i): bins left of the own slide hold
+            # only smaller ids (slide monotone in id) -> full count; bins
+            # right hold only larger -> 0; the own-slide bin needs the
+            # per-row prefix at fp (duplicate ids excluded via side=left)
+            c_arr = np.zeros_like(c)
+            c_arr[:, :max_slide_gap] = c[:, :max_slide_gap]
+            if hi_own > lo_own:
+                own_cs = np.zeros((m, hi_own - lo_own + 1), dtype=np.int32)
+                np.cumsum(
+                    msk[:, lo_own:hi_own], axis=1, out=own_cs[:, 1:],
+                    dtype=np.int32,
+                )
+                pos = np.clip(fp_all[rows] - (lo_own + col0), 0, hi_own - lo_own)
+                c_arr[:, max_slide_gap] = own_cs[np.arange(m), pos]
+            ri, bi = np.nonzero(c)
+            out.append(
+                (
+                    ids[rows[ri]],
+                    slides[rows[ri]],
+                    slides[rows[ri]] + (bi - max_slide_gap),
+                    c[ri, bi],
+                    c_arr[ri, bi],
+                )
+            )
     return out
 
 
