@@ -104,14 +104,25 @@ def build(spark, out_dir: str, copies: int) -> None:
         # structure copy-local instead of replaying identical windows
         .withColumn("value", F.col("value") + F.lit(c * 0.001)),
     )
-    replicate(
-        "documents",
-        lambda df, c, n0: df.withColumn("doc_id", F.col("doc_id") + c * n0)
-        .withColumn(
-            "text", F.concat(F.col("text"), F.lit(f" copymark{c}"))
+    # per-copy CHARACTER ROTATION, not a suffix: a suffix leaves cross-copy
+    # docs ~95% shingle-identical, which MERGES the template clusters into
+    # 10x-size mega-clusters (measured: minhash 507 s — the quadratic
+    # within-cluster pair count, not an operator cliff). Rotating the
+    # alphabet per copy rewrites every shingle, so cluster COUNT grows 10x
+    # while cluster SIZE stays constant — the realistic corpus growth mode
+    # this smoke is meant to measure.
+    alpha = "abcdefghijklmnopqrstuvwxyz"
+
+    def _rot_text(df, c, n0):
+        to = alpha[c:] + alpha[:c]
+        rotated = F.translate(F.col("text"), alpha, to)
+        return (
+            df.withColumn("doc_id", F.col("doc_id") + c * n0)
+            .withColumn("text", rotated)
+            .withColumn("n_chars", F.length(rotated))
         )
-        .withColumn("n_chars", F.length(F.concat(F.col("text"), F.lit(f" copymark{c}")))),
-    )
+
+    replicate("documents", _rot_text)
     replicate(
         "embeddings",
         lambda df, c, n0: df.withColumn("vec_id", F.col("vec_id") + c * n0)
