@@ -31,7 +31,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..config import DetectorConfig
-from .pairs import _pairwise_emit, PAIR_SCHEMA
+from .pairs import _mask_bin_counts, _pairwise_emit, PAIR_SCHEMA
 
 def make_projections(
     cfg: DetectorConfig, dim: int
@@ -399,7 +399,7 @@ def lsh_neighbor_counts(
         )
         bounds = np.flatnonzero(np.concatenate(([True], changed)))
         bounds = np.append(bounds, len(t_arr))
-        out: list[pd.DataFrame] = []
+        out: list[tuple[np.ndarray, ...]] = []
         for b0, b1 in zip(bounds[:-1], bounds[1:]):
             n = b1 - b0
             if n < 2:
@@ -443,41 +443,27 @@ def lsh_neighbor_counts(
                         both = ((sm >> tp) & 1).astype(bool)
                         eq |= ~(both[:, None] & both[None, :])
                     M &= eq
-            # bin counts by contiguous slide ranges: two padded cumsums
-            # (all / home-only columns), guest rows read the home-only one
-            cs_all = np.zeros((n, n + 1), dtype=np.int32)
-            np.cumsum(M, axis=1, out=cs_all[:, 1:], dtype=np.int32)
-            np.logical_and(M, home[None, :], out=M)
-            cs_home = np.zeros((n, n + 1), dtype=np.int32)
-            np.cumsum(M, axis=1, out=cs_home[:, 1:], dtype=np.int32)
-            cs = np.where(home[:, None], cs_all, cs_home)
-            fp = np.searchsorted(ids, ids, side="left")
-            rr = np.arange(n)
-            c = np.empty((n, n_bins), dtype=np.int64)
-            c_arr = np.empty((n, n_bins), dtype=np.int64)
-            for b in range(n_bins):
-                sj = slides + (b - max_gap)
-                lo = np.searchsorted(slides, sj, side="left")
-                hi = np.searchsorted(slides, sj, side="right")
-                c[:, b] = cs[rr, hi] - cs[rr, lo]
-                c_arr[:, b] = (
-                    cs[rr, np.minimum(hi, fp)] - cs[rr, np.minimum(lo, fp)]
-                )
-            ri, bi = np.nonzero(c)
-            out.append(
-                pd.DataFrame(
-                    {
-                        "i": ids[ri],
-                        "slide_i": slides[ri],
-                        "slide_j": slides[ri] + (bi - max_gap),
-                        "c": c[ri, bi],
-                        "c_arr": c_arr[ri, bi],
-                    }
-                )
-            )
+            # bin counts by contiguous slide ranges — slide-grouped slice
+            # sums over the mask (one read-only pass; guest rows clamp
+            # their bins to the home prefix), replacing two padded
+            # n x (n+1) int32 row-cumsums + a np.where(home) plane
+            # (operators/pairs.py::_mask_bin_counts). Home rows form the
+            # id-sorted prefix of the bucket group by the banded block
+            # construction.
+            n_home_g = int(home.sum())
+            if n_home_g and not home[:n_home_g].all():
+                raise AssertionError("home rows must form an id-sorted prefix")
+            out.extend(_mask_bin_counts(M, ids, slides, n_home_g, max_gap))
         if out:
-            yield pa.RecordBatch.from_pandas(
-                pd.concat(out, ignore_index=True), preserve_index=False
+            cols = [np.concatenate([p[k] for p in out]) for k in range(5)]
+            yield pa.RecordBatch.from_pydict(
+                {
+                    "i": pa.array(cols[0], type=pa.int64()),
+                    "slide_i": pa.array(cols[1], type=pa.int64()),
+                    "slide_j": pa.array(cols[2], type=pa.int64()),
+                    "c": pa.array(cols[3], type=pa.int64()),
+                    "c_arr": pa.array(cols[4], type=pa.int64()),
+                }
             )
 
     sp = int(

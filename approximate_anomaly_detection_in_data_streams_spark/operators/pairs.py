@@ -81,6 +81,69 @@ def _pairwise_emit(
 COUNT_SCHEMA = "i long, slide_i long, slide_j long, c long, c_arr long"
 
 
+def _mask_bin_counts(
+    M: np.ndarray,
+    ids: np.ndarray,
+    slides: np.ndarray,
+    n_home: int,
+    max_gap: int,
+) -> list[tuple[np.ndarray, ...]]:
+    """Bin a boolean neighbor mask by neighbor slide — the slide-grouped
+    slice-sum scheme of ``_counts_emit`` for callers that already hold a
+    full n x n mask (the LSH bucket kernel): rows of one slide share
+    their per-bin column ranges, guest rows (an id-sorted suffix — home
+    rows are the prefix ``[:n_home]``) clamp their bins to the home
+    prefix, and ``c_arr``'s strict id_j < id_i bound is full count /
+    zero / short own-slide prefix for bins left / right / at the own
+    slide. One read-only pass over the mask replaces two padded
+    n x (n+1) int32 row-cumsums plus their gathers.
+    Returns (i, slide_i, slide_j, c, c_arr) ndarray tuples.
+    """
+    n = len(ids)
+    n_bins = 2 * max_gap + 1
+    fp = np.searchsorted(ids, ids, side="left")
+    out: list[tuple[np.ndarray, ...]] = []
+    sg = np.flatnonzero(np.concatenate(([True], slides[1:] != slides[:-1])))
+    sg = np.append(sg, n)
+    for s0, s1 in zip(sg[:-1], sg[1:]):
+        si = int(slides[s0])
+        guest = s0 >= n_home
+        edges = np.searchsorted(
+            slides, np.arange(si - max_gap, si + max_gap + 2)
+        )
+        if guest:
+            edges = np.minimum(edges, n_home)
+        rows_m = M[s0:s1]
+        m = s1 - s0
+        c = np.zeros((m, n_bins), dtype=np.int64)
+        for b in range(n_bins):
+            b0, b1 = int(edges[b]), int(edges[b + 1])
+            if b1 > b0:
+                c[:, b] = rows_m[:, b0:b1].sum(axis=1, dtype=np.int64)
+        c_arr = np.zeros_like(c)
+        c_arr[:, :max_gap] = c[:, :max_gap]
+        lo_own, hi_own = int(edges[max_gap]), int(edges[max_gap + 1])
+        if hi_own > lo_own:
+            own_cs = np.zeros((m, hi_own - lo_own + 1), dtype=np.int32)
+            np.cumsum(
+                rows_m[:, lo_own:hi_own], axis=1, out=own_cs[:, 1:],
+                dtype=np.int32,
+            )
+            pos = np.clip(fp[s0:s1] - lo_own, 0, hi_own - lo_own)
+            c_arr[:, max_gap] = own_cs[np.arange(m), pos]
+        ri, bi = np.nonzero(c)
+        out.append(
+            (
+                ids[s0:s1][ri],
+                slides[s0:s1][ri],
+                slides[s0:s1][ri] + (bi - max_gap),
+                c[ri, bi],
+                c_arr[ri, bi],
+            )
+        )
+    return out
+
+
 def _counts_emit(
     X: np.ndarray,
     ids: np.ndarray,
