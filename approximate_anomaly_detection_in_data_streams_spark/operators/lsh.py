@@ -31,7 +31,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..config import DetectorConfig
-from .pairs import _mask_bin_counts, _pairwise_emit, PAIR_SCHEMA
+from .pairs import _mask_bin_counts
 
 def make_projections(
     cfg: DetectorConfig, dim: int
@@ -277,35 +277,198 @@ def lsh_neighbor_counts(
     bucket_cap: int | None = None,
 ) -> DataFrame:
     """Slide-binned neighbor counts from LSH candidates — the detector's
-    scalable input, computed per (table, key, block) bucket in a NumPy
-    kernel instead of materializing the candidate pair table.
+    scalable input. Output: (i, slide_i, slide_j, c, c_arr), pre-aggregated
+    per task and summed by one map-side-combinable aggregation.
 
     Semantically identical to ``pairs_to_counts(lsh_neighbor_pairs(...))``
-    (property- and oracle-tested): same bucket collisions, same min-table
-    cross-table dedupe (exact integer-key comparison over the carried L x m
-    hash matrix), same exact distance filter, same per-owner/per-direction
-    counting. The difference is the dataflow: the bucket equi-join's
-    candidate multiset (~455M rows at sf0.1) never becomes JVM join rows —
-    each (t, key, g) group's members land in one Arrow batch and the kernel
-    emits O(members x window-span) count bins, the same ~100x shuffle
-    reduction the exact detector's block kernel uses
-    (operators/pairs.py::_counts_emit). Output: (i, slide_i, slide_j, c,
-    c_arr), pre-aggregated per bucket and summed by one map-side-combinable
-    aggregation.
+    (property- and oracle-tested): same bucket collisions (union over the L
+    tables, each pair counted once), same exact distance filter, same
+    per-owner/per-direction counting.
+
+    Two physical strategies:
+
+      * uncapped (the production path): a banded BLOCK kernel
+        (``_lsh_counts_blocked``) — no per-table explode at all. Each
+        window block's rows land in one Arrow batch carrying the L x m
+        hash-int matrix, and "collides in >= 1 table" is L label planes
+        over the <= 2W-row block. The candidate multiset never exists, the
+        shuffle is ~L x smaller than the bucket equi-join's exploded table,
+        and the cross-table dedupe disappears structurally (measured: ~77%
+        of bucket-join candidate pairs at sf0.1 were duplicate-table
+        copies of an already-seen pair).
+      * capped: the bucket-exploded kernel (``_lsh_counts_bucketed``) —
+        eviction needs per-(table, key, block) bucket identity and seeded
+        hash order, so the explode is structural there.
     """
-    import pandas as pd
-
-    from pyspark.sql.window import Window
-
     dim = cfg.dim if cfg.dim > 0 else len(
         points_with_slide.select("features").first()[0]
     )
+    if bucket_cap is None:
+        return _lsh_counts_blocked(points_with_slide, cfg, dim)
+    return _lsh_counts_bucketed(points_with_slide, cfg, dim, bucket_cap)
+
+
+def _lsh_counts_blocked(
+    points_with_slide: DataFrame, cfg: DetectorConfig, dim: int
+) -> DataFrame:
+    """Uncapped LSH counts via the banded block kernel (see
+    lsh_neighbor_counts). Same block layout as the exact detector
+    (operators/pairs.py::exact_neighbor_counts) with one extra per-block
+    mask: pair collides in >= 1 of the L tables — computed as L exact
+    label planes (void-dtype np.unique over each table's m key ints: exact
+    equality, no hashing) over the carried hash matrix."""
+    L, m = cfg.num_tables, cfg.num_hashes
+    max_gap = cfg.ws - 1
+    r2 = float(cfg.r) ** 2
+
+    sp = int(
+        points_with_slide.sparkSession.conf.get("spark.sql.shuffle.partitions", "64")
+    )
+    # home row in its own block; guest row fanned to the previous block —
+    # cross-block pairs are counted in the lower block's group exactly once.
+    # ONE explode, not a self-union: a union re-reads (and re-shuffles) the
+    # shared subtree twice when exchange reuse fails to kick in.
+    blk = ((F.col("slide") - 1) / F.lit(cfg.ws)).cast("long")
+    fanned = (
+        points_with_slide.select(
+            "id",
+            "slide",
+            "features",
+            F.explode(
+                F.array(
+                    F.struct(blk.alias("g"), F.lit(True).alias("home")),
+                    F.struct((blk - 1).alias("g"), F.lit(False).alias("home")),
+                )
+            ).alias("fan"),
+        )
+        .select("id", "slide", "features", "fan.g", "fan.home")
+        .where(F.col("g") >= 0)
+    )
+    # the L*m hash expressions run AFTER the g-shuffle: the parquet scan
+    # may have only a couple of splits (row-group granularity), while the
+    # post-exchange projection fuses into the (sp-way parallel) kernel
+    # stage — the scan-side stage only fans narrow rows into the shuffle.
+    keyed = with_bucket_key_ints(fanned.repartition(sp, "g"), cfg, dim)
+
+    def emit(batches):
+        import pyarrow as pa
+
+        arrow_chunks = [b for b in batches if b.num_rows]
+        if not arrow_chunks:
+            return
+        tbl = pa.Table.from_batches(arrow_chunks)
+        if tbl.num_rows < 2:
+            return
+
+        def flat_matrix(name: str) -> np.ndarray:
+            col = tbl.column(name).combine_chunks()
+            flat = col.flatten().to_numpy(zero_copy_only=False)
+            offs = col.offsets.to_numpy(zero_copy_only=False)
+            widths = np.diff(offs)
+            if len(widths) and (widths == widths[0]).all():
+                return flat.reshape(len(widths), int(widths[0]))
+            return np.stack(  # ragged fallback (never for fixed dim/L*m)
+                [flat[offs[i] : offs[i + 1]] for i in range(len(offs) - 1)]
+            )
+
+        feats_mat = flat_matrix("features").astype(np.float64, copy=False)
+        hk_mat = flat_matrix("hk")
+        g_arr = tbl.column("g").to_numpy(zero_copy_only=False)
+        id_arr = tbl.column("id").to_numpy(zero_copy_only=False)
+        slides_all = tbl.column("slide").to_numpy(zero_copy_only=False)
+        home_all = tbl.column("home").to_numpy(zero_copy_only=False)
+        order = np.lexsort((id_arr, g_arr))
+        g_arr, id_arr = g_arr[order], id_arr[order]
+        slides_all = slides_all[order]
+        home_all = home_all[order]
+        feats_all = feats_mat[order]
+        hk_all = hk_mat[order]
+        bounds = np.flatnonzero(
+            np.concatenate(([True], g_arr[1:] != g_arr[:-1]))
+        )
+        bounds = np.append(bounds, len(g_arr))
+        parts: list[tuple[np.ndarray, ...]] = []
+        eq = None
+        for b0, b1 in zip(bounds[:-1], bounds[1:]):
+            n = b1 - b0
+            if n < 2:
+                continue
+            X = feats_all[b0:b1]
+            # per-dimension (a-b)^2 accumulated left-to-right — the SAME
+            # IEEE fold as lsh_neighbor_pairs' unrolled codegen predicate
+            # and the DuckDB oracle (ADVICE r2).
+            diff = X[:, 0][:, None] - X[:, 0][None, :]
+            D2 = diff * diff
+            for d in range(1, X.shape[1]):
+                diff = X[:, d][:, None] - X[:, d][None, :]
+                D2 += diff * diff
+            M = D2 <= r2
+            M[np.arange(n), np.arange(n)] = False
+            # collision mask: >= 1 table where all m key ints are equal.
+            # One exact label plane per table (4x less plane traffic than
+            # m component planes at the default m=4).
+            K = hk_all[b0:b1].reshape(n, L, m)
+            C = np.zeros((n, n), dtype=bool)
+            if eq is None or eq.shape[0] < n:
+                eq = np.empty((n, n), dtype=bool)
+            e = eq[:n, :n]
+            for t in range(L):
+                rows = np.ascontiguousarray(K[:, t, :])
+                void = rows.view([("", rows.dtype)] * m).ravel()
+                _, labels = np.unique(void, return_inverse=True)
+                np.equal(labels[:, None], labels[None, :], out=e)
+                C |= e
+            M &= C
+            n_home_g = int(home_all[b0:b1].sum())
+            if n_home_g and not home_all[b0:b1][:n_home_g].all():
+                raise AssertionError("home rows must form an id-sorted prefix")
+            parts.extend(
+                _mask_bin_counts(
+                    M, id_arr[b0:b1], slides_all[b0:b1], n_home_g, max_gap
+                )
+            )
+        if parts:
+            cols = [np.concatenate([p[k] for p in parts]) for k in range(5)]
+            yield pa.RecordBatch.from_pydict(
+                {
+                    "i": pa.array(cols[0], type=pa.int64()),
+                    "slide_i": pa.array(cols[1], type=pa.int64()),
+                    "slide_j": pa.array(cols[2], type=pa.int64()),
+                    "c": pa.array(cols[3], type=pa.int64()),
+                    "c_arr": pa.array(cols[4], type=pa.int64()),
+                }
+            )
+
+    binned = keyed.mapInArrow(
+        emit, "i long, slide_i long, slide_j long, c long, c_arr long"
+    )
+    return binned.groupBy("i", "slide_i", "slide_j").agg(
+        F.sum("c").alias("c"), F.sum("c_arr").alias("c_arr")
+    )
+
+
+def _lsh_counts_bucketed(
+    points_with_slide: DataFrame,
+    cfg: DetectorConfig,
+    dim: int,
+    bucket_cap: int | None,
+) -> DataFrame:
+    """Capped LSH counts via the bucket-exploded kernel (see
+    lsh_neighbor_counts): per-(table, key, block) groups, vectorized pair
+    expansion, survivor-restricted min-table dedupe."""
+    from pyspark.sql.window import Window
+
     L, m = cfg.num_tables, cfg.num_hashes
     max_gap = cfg.ws - 1
     n_bins = 2 * max_gap + 1
     r2 = float(cfg.r) ** 2
 
-    base = with_bucket_key_ints(points_with_slide, cfg, dim)
+    sp = int(
+        points_with_slide.sparkSession.conf.get("spark.sql.shuffle.partitions", "64")
+    )
+    base = with_bucket_key_ints(points_with_slide.repartition(sp), cfg, dim)
+    # the cap thins each bucket with a row_number window keyed by `key`,
+    # so the key must be the EXACT bucket identity — the string tuple
     key_t = [
         F.concat_ws(
             "_", *[F.col("hk")[t * m + j].cast("string") for j in range(m)]
@@ -370,7 +533,6 @@ def lsh_neighbor_counts(
         feats_mat = flat_matrix("features", 0).astype(np.float64, copy=False)
         hk_mat = flat_matrix("hk", L * m)
         t_arr = tbl.column("t").to_numpy(zero_copy_only=False)
-        key_arr = tbl.column("key").to_numpy(zero_copy_only=False)
         g_arr = tbl.column("g").to_numpy(zero_copy_only=False)
         id_arr0 = tbl.column("id").to_numpy(zero_copy_only=False)
         slide_arr0 = tbl.column("slide").to_numpy(zero_copy_only=False)
@@ -380,12 +542,23 @@ def lsh_neighbor_counts(
             if "sm" in tbl.schema.names
             else np.full(tbl.num_rows, -1, dtype=np.int64)
         )
-        # sort by (t, key, g, id): groups contiguous AND rows id-ascending
-        # within each group, so slide (monotone in id) is sorted and each
-        # neighbor-slide bin is a contiguous column range (the cumsum
-        # trick — operators/pairs.py::_counts_emit)
-        order = np.lexsort((id_arr0, g_arr, key_arr, t_arr))
-        t_arr, key_arr, g_arr = t_arr[order], key_arr[order], g_arr[order]
+        # the bucket identity is the row's OWN table's m raw key ints,
+        # gathered from the carried hash matrix — NOT the shuffled `key`
+        # column (a 64-bit distribution hash on the hot path; see the
+        # shuffle-key comment in the plan builder). Grouping on the raw
+        # ints keeps the kernel exact under hash collisions for free.
+        K_own = hk_mat[
+            np.arange(len(t_arr))[:, None], (t_arr * m)[:, None] + np.arange(m)
+        ]
+        # sort by (t, g, key ints, id): groups contiguous AND rows
+        # id-ascending within each group, so slide (monotone in id) is
+        # sorted and each neighbor-slide bin is a contiguous column range
+        # (the cumsum trick — operators/pairs.py::_counts_emit). All-int64
+        # lexsort — the former string-key sort compared Python objects.
+        order = np.lexsort(
+            (id_arr0, *(K_own[:, j] for j in range(m - 1, -1, -1)), g_arr, t_arr)
+        )
+        t_arr, g_arr, K_own = t_arr[order], g_arr[order], K_own[order]
         ids_all = id_arr0[order]
         slides_all = slide_arr0[order]
         home_all = home_arr0[order]
@@ -394,85 +567,122 @@ def lsh_neighbor_counts(
         hk_all = hk_mat[order]
         changed = (
             (t_arr[1:] != t_arr[:-1])
-            | (key_arr[1:] != key_arr[:-1])
             | (g_arr[1:] != g_arr[:-1])
+            | (K_own[1:] != K_own[:-1]).any(axis=1)
         )
         bounds = np.flatnonzero(np.concatenate(([True], changed)))
         bounds = np.append(bounds, len(t_arr))
-        out: list[tuple[np.ndarray, ...]] = []
-        for b0, b1 in zip(bounds[:-1], bounds[1:]):
-            n = b1 - b0
-            if n < 2:
+        # FULLY VECTORIZED across bucket groups. Groups here are tiny
+        # (bucket members co-windowed in one block — measured mean ~20,
+        # p99 ~150 at sf0.1), so the former per-group loop paid ~100k
+        # Python iterations of np.unique + slice-sum binning per dataset;
+        # that loop overhead, not the plane flops, dominated the kernel
+        # (scripts/profile_lsh_kernel.py). Instead: expand every group's
+        # ordered index pairs with the segment repeat/arange trick, apply
+        # all predicates as flat vector passes, and accumulate count bins
+        # with one bincount keyed by (owner row, slide offset).
+        N = len(t_arr)
+        sizes = np.diff(bounds)
+        grp = np.cumsum(np.concatenate(([0], changed.astype(np.int64))))
+        rep = sizes[grp]  # per row: its group's size
+        g_start = bounds[:-1][grp]  # per row: its group's first row index
+        dim_n = feats_all.shape[1]
+        cnt = np.zeros(N * n_bins, dtype=np.int64)
+        cnt_arr = np.zeros(N * n_bins, dtype=np.int64)
+        # chunk group ranges so the expanded pair arrays stay bounded; a
+        # group never splits (max group <= 2W rows -> <= 4W^2 pairs)
+        pair_cum = np.concatenate(([0], np.cumsum(sizes.astype(np.int64) ** 2)))
+        chunk_pairs = 8_000_000
+        ga = 0
+        n_groups = len(sizes)
+        while ga < n_groups:
+            gb = int(
+                np.searchsorted(pair_cum, pair_cum[ga] + chunk_pairs, side="right")
+            ) - 1
+            gb = max(gb, ga + 1)
+            r0, r1 = int(bounds[ga]), int(bounds[gb])
+            ga = gb
+            rep_c = rep[r0:r1]
+            T = int(rep_c.sum())
+            if T == 0:
                 continue
-            t = int(t_arr[b0])
-            ids = ids_all[b0:b1]
-            slides = slides_all[b0:b1]
-            home = home_all[b0:b1]
-            X = feats_all[b0:b1]
+            i_idx = np.repeat(np.arange(r0, r1, dtype=np.int64), rep_c)
+            row_pair_start = np.concatenate(
+                ([0], np.cumsum(rep_c, dtype=np.int64)[:-1])
+            )
+            j_idx = (
+                np.arange(T, dtype=np.int64)
+                - np.repeat(row_pair_start, rep_c)
+                + np.repeat(g_start[r0:r1], rep_c)
+            )
+            # cheap structural predicates first: no self-pair; owner rule
+            # (home owners count all, guest owners count home neighbors
+            # only — guest-guest pairs are home-home in the next block's
+            # group); slide band
+            keep = (i_idx != j_idx) & (home_all[i_idx] | home_all[j_idx])
+            si = slides_all[i_idx]
+            sj = slides_all[j_idx]
+            np.logical_and(keep, np.abs(si - sj) <= max_gap, out=keep)
+            i_idx, j_idx = i_idx[keep], j_idx[keep]
+            si, sj = si[keep], sj[keep]
             # per-dimension (a-b)^2 accumulated left-to-right — the SAME
             # IEEE fold as lsh_neighbor_pairs' unrolled codegen predicate
             # and the DuckDB oracle. The Gram identity (sq_i + sq_j -
             # 2*x.y) differs in the last ulp, which could silently flip a
             # pair with d^2 within rounding of r^2 (ADVICE r2).
-            diff = X[:, 0][:, None] - X[:, 0][None, :]
+            diff = feats_all[i_idx, 0] - feats_all[j_idx, 0]
             D2 = diff * diff
-            for d in range(1, X.shape[1]):
-                diff = X[:, d][:, None] - X[:, d][None, :]
+            for d in range(1, dim_n):
+                diff = feats_all[i_idx, d] - feats_all[j_idx, d]
                 D2 += diff * diff
-            M = D2 <= r2
-            M[np.arange(n), np.arange(n)] = False
-            if t > 0:
-                # min-table dedupe via per-table EXACT key-tuple labels:
-                # factorizing each earlier table's m-int key rows to one
-                # label (void-dtype unique — exact equality, no hashing)
-                # turns the m component-equality planes per table into ONE
-                # label plane (the former loop scanned t*m full planes).
-                # Survivor restriction (capped runs): an earlier table
-                # only owns the pair if BOTH members survived its cap —
-                # sm is all-ones when uncapped, making the extra term a
-                # no-op (semantics identical to lsh_neighbor_pairs).
-                K = hk_all[b0:b1].reshape(n, L, m)
-                sm = sm_all[b0:b1]
-                eq = np.empty((n, n), dtype=bool)
-                for tp in range(t):
-                    rows = np.ascontiguousarray(K[:, tp, :])
-                    void = rows.view([("", rows.dtype)] * m).ravel()
-                    _, labels = np.unique(void, return_inverse=True)
-                    np.not_equal(labels[:, None], labels[None, :], out=eq)
-                    if bucket_cap is not None:  # skip the extra planes uncapped
-                        both = ((sm >> tp) & 1).astype(bool)
-                        eq |= ~(both[:, None] & both[None, :])
-                    M &= eq
-            # bin counts by contiguous slide ranges — slide-grouped slice
-            # sums over the mask (one read-only pass; guest rows clamp
-            # their bins to the home prefix), replacing two padded
-            # n x (n+1) int32 row-cumsums + a np.where(home) plane
-            # (operators/pairs.py::_mask_bin_counts). Home rows form the
-            # id-sorted prefix of the bucket group by the banded block
-            # construction.
-            n_home_g = int(home.sum())
-            if n_home_g and not home[:n_home_g].all():
-                raise AssertionError("home rows must form an id-sorted prefix")
-            out.extend(_mask_bin_counts(M, ids, slides, n_home_g, max_gap))
-        if out:
-            cols = [np.concatenate([p[k] for p in out]) for k in range(5)]
+            keep = D2 <= r2
+            i_idx, j_idx = i_idx[keep], j_idx[keep]
+            si, sj = si[keep], sj[keep]
+            # min-table dedupe: a pair is owned by the FIRST table whose
+            # keys collide (exact m-int comparison against the carried
+            # hash matrix — no hashing, no labels). Survivor restriction
+            # (capped runs): an earlier table only owns the pair if BOTH
+            # members survived its cap (semantics of lsh_neighbor_pairs).
+            tpair = t_arr[i_idx]
+            t_max = int(tpair.max(initial=0))
+            coll = np.zeros(len(i_idx), dtype=bool)
+            for tp in range(t_max):
+                eq = tpair > tp
+                base = tp * m
+                for jj in range(m):
+                    eq &= hk_all[i_idx, base + jj] == hk_all[j_idx, base + jj]
+                if bucket_cap is not None:
+                    eq &= (
+                        ((sm_all[i_idx] >> tp) & (sm_all[j_idx] >> tp)) & 1
+                    ).astype(bool)
+                coll |= eq
+            surv = ~coll
+            i_s = i_idx[surv]
+            key = i_s * n_bins + (sj[surv] - si[surv] + max_gap)
+            cnt += np.bincount(key, minlength=N * n_bins)
+            arr_mask = ids_all[j_idx[surv]] < ids_all[i_s]
+            cnt_arr += np.bincount(key[arr_mask], minlength=N * n_bins)
+        C = cnt.reshape(N, n_bins)
+        ri, bi = np.nonzero(C)
+        if len(ri):
             yield pa.RecordBatch.from_pydict(
                 {
-                    "i": pa.array(cols[0], type=pa.int64()),
-                    "slide_i": pa.array(cols[1], type=pa.int64()),
-                    "slide_j": pa.array(cols[2], type=pa.int64()),
-                    "c": pa.array(cols[3], type=pa.int64()),
-                    "c_arr": pa.array(cols[4], type=pa.int64()),
+                    "i": pa.array(ids_all[ri], type=pa.int64()),
+                    "slide_i": pa.array(slides_all[ri], type=pa.int64()),
+                    "slide_j": pa.array(
+                        slides_all[ri] + (bi - max_gap), type=pa.int64()
+                    ),
+                    "c": pa.array(C[ri, bi], type=pa.int64()),
+                    "c_arr": pa.array(
+                        cnt_arr.reshape(N, n_bins)[ri, bi], type=pa.int64()
+                    ),
                 }
             )
 
-    sp = int(
-        points_with_slide.sparkSession.conf.get("spark.sql.shuffle.partitions", "64")
-    )
-    binned = (
-        fanned.repartition(sp, "t", "key", "g")
-        .sortWithinPartitions("t", "key", "g")
-        .mapInArrow(emit, "i long, slide_i long, slide_j long, c long, c_arr long")
+    # no sortWithinPartitions: the kernel lexsorts its whole partition
+    # anyway (all-int keys), so a JVM sort before it is pure waste
+    binned = fanned.repartition(sp, "t", "key", "g").mapInArrow(
+        emit, "i long, slide_i long, slide_j long, c long, c_arr long"
     )
     return binned.groupBy("i", "slide_i", "slide_j").agg(
         F.sum("c").alias("c"), F.sum("c_arr").alias("c_arr")

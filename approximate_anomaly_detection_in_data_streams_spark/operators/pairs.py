@@ -353,11 +353,9 @@ def exact_neighbor_counts(
     sp = int(
         points_with_slide.sparkSession.conf.get("spark.sql.shuffle.partitions", "64")
     )
-    return (
-        fanned.repartition(sp, "g")
-        .sortWithinPartitions("g", "id")
-        .mapInArrow(emit, COUNT_SCHEMA)
-    )
+    # no sortWithinPartitions: the kernel lexsorts its whole partition by
+    # (g, id) anyway, so a JVM sort before it is pure waste
+    return fanned.repartition(sp, "g").mapInArrow(emit, COUNT_SCHEMA)
 
 
 def pairs_to_counts(pairs: DataFrame) -> DataFrame:
