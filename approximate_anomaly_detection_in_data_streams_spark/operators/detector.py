@@ -178,6 +178,19 @@ def per_point_verdicts(
     <= ws batches) — whole-stage codegen, no explode, no extra shuffle.
     """
     ws, k = cfg.ws, cfg.k
+    if ws <= 24:
+        # UNROLLED flat-codegen path (the production regime): the 2*ws-1
+        # slide-offset bins pivot into plain conditional-sum columns in ONE
+        # groupBy (the higher-order formulation below needs two shuffles —
+        # count-bin consolidation, then per-id collect_list — and its
+        # transform/aggregate lambdas evaluate INTERPRETED per element
+        # with per-row object churn: measured ~90 s of JVM CPU for 1M ids
+        # at sf1 vs seconds for the pivoted form). Guarded by ws because
+        # the expression tree grows O(ws^2); beyond the guard the array
+        # path below keeps codegen-sized plans.
+        return _per_point_verdicts_pivoted(
+            points_with_slide, slide_counts, cfg, b_total
+        )
     grouped = slide_counts.groupBy("i", "slide_i", "slide_j").agg(
         F.sum("c").alias("c"), F.sum("c_arr").alias("ca")
     )
@@ -231,6 +244,76 @@ def per_point_verdicts(
         ever_out_end
         | ever_out_pre
         | (F.coalesce("cnt_arrival", F.lit(0)) < k)
+    )
+    return joined.select(
+        "id",
+        F.coalesce(ever_inlier, F.lit(False)).alias("ever_inlier"),
+        ever_outlier.alias("ever_outlier"),
+    )
+
+
+def _per_point_verdicts_pivoted(
+    points_with_slide: DataFrame,
+    slide_counts: DataFrame,
+    cfg: DetectorConfig,
+    b_total: int,
+) -> DataFrame:
+    """Unrolled per-point verdicts (see per_point_verdicts): the 2*ws-1
+    neighbor-count bins become conditional-sum columns in one groupBy and
+    every window sum / threshold test is a flat whole-stage-codegen
+    expression. Bit-identical semantics to the higher-order formulation
+    (property-tested equal); the derivation in per_point_verdicts'
+    docstring applies unchanged."""
+    ws, k = cfg.ws, cfg.k
+    off = F.col("slide_j") - F.col("slide_i")
+    per_id = slide_counts.groupBy(F.col("i").alias("id")).agg(
+        *[
+            F.sum(
+                F.when(off == o, F.col("c")).otherwise(F.lit(0).cast("long"))
+            ).alias(f"_b{o + ws - 1}")
+            for o in range(-(ws - 1), ws)
+        ],
+        F.sum("c_arr").alias("cnt_arrival"),
+    )
+    base = points_with_slide.select("id", "slide")
+    joined = base.join(per_id, "id", "left")
+    n_b = (
+        F.least(F.lit(b_total), F.col("slide") + F.lit(ws - 1))
+        - F.col("slide")
+        + 1
+    ).cast("int")
+
+    def bin_col(o: int):
+        return F.coalesce(F.col(f"_b{o + ws - 1}"), F.lit(0).cast("long"))
+
+    def win_sum(lo: int, hi: int):
+        total = None
+        for o in range(max(lo, -(ws - 1)), min(hi, ws - 1) + 1):
+            total = bin_col(o) if total is None else total + bin_col(o)
+        return total if total is not None else F.lit(0).cast("long")
+
+    # end count at batch offset t (t = 0 .. n_b-1): window sum over bin
+    # offsets [t-ws+1, t]; pre count at t >= 1 excludes the batch-t
+    # arrivals: offsets [t-ws+1, t-1]
+    ever_inlier = None
+    ever_out_end = None
+    ever_out_pre = None
+    for t in range(ws):
+        in_range = F.lit(t) < n_b
+        end_t = win_sum(t - ws + 1, t)
+        e_in = in_range & (end_t >= F.lit(k))
+        e_out = in_range & (end_t < F.lit(k))
+        ever_inlier = e_in if ever_inlier is None else (ever_inlier | e_in)
+        ever_out_end = e_out if ever_out_end is None else (ever_out_end | e_out)
+        if t >= 1:
+            p_out = in_range & (win_sum(t - ws + 1, t - 1) < F.lit(k))
+            ever_out_pre = (
+                p_out if ever_out_pre is None else (ever_out_pre | p_out)
+            )
+    ever_outlier = (
+        ever_out_end
+        | (ever_out_pre if ever_out_pre is not None else F.lit(False))
+        | (F.coalesce("cnt_arrival", F.lit(0).cast("long")) < F.lit(k))
     )
     return joined.select(
         "id",

@@ -132,3 +132,37 @@ def test_fused_per_point_equals_evaluation_aggregation(spark, gauss2d):
         for r in per_point_verdicts(pts, counts, cfg, b_total).collect()
     }
     assert fused == via_evals
+
+
+def test_pivoted_verdicts_equal_higher_order(spark, gauss2d):
+    """The unrolled conditional-sum verdict path must agree with the
+    higher-order array formulation on every point (same counts input).
+    ws=25 routes per_point_verdicts to the higher-order path, so this
+    compares the two implementations directly."""
+    from approximate_anomaly_detection_in_data_streams_spark.operators.detector import (
+        _per_point_verdicts_pivoted,
+        per_point_verdicts,
+    )
+    from approximate_anomaly_detection_in_data_streams_spark.operators.pairs import (
+        exact_neighbor_counts,
+    )
+    from approximate_anomaly_detection_in_data_streams_spark.operators.windows import (
+        n_batches,
+        with_slide,
+    )
+
+    cfg = DetectorConfig(w=50, slide=2, r=0.5, k=4)  # ws=25 > the guard
+    points = to_points_df(spark, gauss2d)
+    pts = with_slide(points, cfg)
+    b_total = n_batches(points, cfg)
+    counts = exact_neighbor_counts(pts, cfg)
+
+    hof = {
+        r.id: (r.ever_inlier, r.ever_outlier)
+        for r in per_point_verdicts(pts, counts, cfg, b_total).collect()
+    }
+    piv = {
+        r.id: (r.ever_inlier, r.ever_outlier)
+        for r in _per_point_verdicts_pivoted(pts, counts, cfg, b_total).collect()
+    }
+    assert piv == hof
