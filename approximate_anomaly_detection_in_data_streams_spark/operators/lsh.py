@@ -277,8 +277,9 @@ def lsh_neighbor_counts(
     bucket_cap: int | None = None,
 ) -> DataFrame:
     """Slide-binned neighbor counts from LSH candidates — the detector's
-    scalable input. Output: (i, slide_i, slide_j, c, c_arr), pre-aggregated
-    per task and summed by one map-side-combinable aggregation.
+    scalable input. Output: (i, slide_i, slide_j, c, c_arr) — like
+    exact_neighbor_counts, the table may hold multiple rows per key
+    (home- and guest-block contributions); consumers aggregate additively.
 
     Semantically identical to ``pairs_to_counts(lsh_neighbor_pairs(...))``
     (property- and oracle-tested): same bucket collisions (union over the L
@@ -439,11 +440,13 @@ def _lsh_counts_blocked(
                 }
             )
 
-    binned = keyed.mapInArrow(
+    # NO consolidating groupBy here: like exact_neighbor_counts, the table
+    # may hold a home-block and a guest-block row per (i, slide_j), and
+    # every consumer (the pivoted verdicts, batch_counts, arrival_counts)
+    # aggregates additively — a groupBy at this seam would pay a full
+    # extra exchange of the count table for nothing.
+    return keyed.mapInArrow(
         emit, "i long, slide_i long, slide_j long, c long, c_arr long"
-    )
-    return binned.groupBy("i", "slide_i", "slide_j").agg(
-        F.sum("c").alias("c"), F.sum("c_arr").alias("c_arr")
     )
 
 
@@ -680,10 +683,9 @@ def _lsh_counts_bucketed(
             )
 
     # no sortWithinPartitions: the kernel lexsorts its whole partition
-    # anyway (all-int keys), so a JVM sort before it is pure waste
-    binned = fanned.repartition(sp, "t", "key", "g").mapInArrow(
+    # anyway (all-int keys), so a JVM sort before it is pure waste.
+    # No consolidating groupBy either — consumers aggregate additively
+    # (same contract as exact_neighbor_counts and the blocked path).
+    return fanned.repartition(sp, "t", "key", "g").mapInArrow(
         emit, "i long, slide_i long, slide_j long, c long, c_arr long"
-    )
-    return binned.groupBy("i", "slide_i", "slide_j").agg(
-        F.sum("c").alias("c"), F.sum("c_arr").alias("c_arr")
     )
