@@ -64,7 +64,7 @@ def main(argv: list[str] | None = None) -> int:
 
     from .session import get_spark
 
-    spark = get_spark(app_name=f"aads-{mode}", cores=args.cores)
+    spark = get_spark(app_name=f"aads-{mode}", cores=args.cores, master=args.master)
     t0 = time.perf_counter()
     try:
         if mode == "detect":

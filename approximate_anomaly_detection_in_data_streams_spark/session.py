@@ -13,8 +13,16 @@ def get_spark(
     shuffle_partitions: int | None = None,
     driver_memory: str | None = None,
     extra: dict[str, str] | None = None,
+    master: str | None = None,
 ) -> SparkSession:
     """Build (or fetch) a SparkSession tuned for this engine.
+
+    ``master`` resolution order: explicit argument, $SPARK_GRAFT_MASTER,
+    then — ONLY when not running under spark-submit — ``local[cores]``.
+    Under spark-submit (detected via the PYSPARK_GATEWAY_PORT env the
+    PythonRunner sets for the driver script) no master is forced, so the
+    submitted ``--master`` / cluster manager wins; forcing local[n] there
+    would silently turn a cluster job into a driver-local one.
 
     ``cores`` controls local parallelism (``local[cores]``); default comes
     from $SPARK_GRAFT_CPUS, falling back to all cores. Shuffle partitions
@@ -42,9 +50,15 @@ def get_spark(
     # This was the dominant N->4N anti-scaling term: Arrow IPC read
     # buffers and kernel outputs are freed and refaulted every batch.
     os.environ.setdefault("ARROW_DEFAULT_MEMORY_POOL", "system")
+    if master is None:
+        master = os.environ.get("SPARK_GRAFT_MASTER")
+    builder = SparkSession.builder
+    if master:
+        builder = builder.master(master)
+    elif "PYSPARK_GATEWAY_PORT" not in os.environ:
+        builder = builder.master(f"local[{cores}]")
     builder = (
-        SparkSession.builder.master(f"local[{cores}]")
-        .appName(app_name)
+        builder.appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
