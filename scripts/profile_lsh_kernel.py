@@ -1,10 +1,14 @@
-"""Standalone micro-profile of the LSH counts kernel's Python internals.
+"""Standalone micro-profile of the bucket-exploded LSH counts kernel
+(the CAPPED path, operators/lsh.py::_lsh_counts_bucketed — the uncapped
+production path is the banded block kernel, which this script's round-4
+measurements motivated: groups here are tiny and 77% of band-surviving
+candidate pairs were duplicate-table copies).
 
 Rebuilds one shuffle partition's worth of kernel input directly in NumPy
-(same seeded projections, same fan-out) from events.parquet, then times the
-phases of operators/lsh.py::lsh_neighbor_counts.emit — conversion, gather,
-lexsort, per-group planes — so kernel optimization is driven by measurement
-instead of stage-level guesses.
+(same seeded projections, same fan-out) from events.parquet, then times
+the phases — pair expansion, band/dist filters, min-table dedupe,
+bincount — so kernel optimization is driven by measurement instead of
+stage-level guesses.
 """
 
 from __future__ import annotations
