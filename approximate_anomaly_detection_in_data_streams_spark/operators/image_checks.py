@@ -110,15 +110,16 @@ def _digest_same_shape(
     # ONE 256-bin integer histogram per image feeds mean, variance AND the
     # 8-bin feature histogram — exact-integer sums, so all three are
     # bit-identical to the former float64 formulation (mean = sum/n,
-    # m2 = sumsq/n with sum, sumsq < 2^53)
-    bins = _scratch("dg_bins", (n, h * w), np.int32)
-    np.add(
-        mats.reshape(n, h * w),
-        (np.arange(n, dtype=np.int32) * 256)[:, None],
-        out=bins,
-        casting="unsafe",
-    )
-    hist256 = np.bincount(bins.ravel(), minlength=n * 256).reshape(n, 256)
+    # m2 = sumsq/n with sum, sumsq < 2^53). Per-image bincount in a plain
+    # loop, NOT the offset-shifted single bincount over an n x h*w int32
+    # buffer: the fused variant writes+reads 4 bytes per 1-byte pixel and
+    # its counting array (n*256 bins) thrashes cache, while per-image
+    # bincounts stay L1-resident — measured 3x faster (8.8 vs 27 us/img
+    # at 48x64) with identical integer outputs.
+    flat_px = mats.reshape(n, h * w)
+    hist256 = np.empty((n, 256), dtype=np.int64)
+    for i in range(n):
+        hist256[i] = np.bincount(flat_px[i], minlength=256)
     v = np.arange(256, dtype=np.float64)
     sums = hist256 @ v
     sumsq = hist256 @ (v * v)
