@@ -233,15 +233,29 @@ def profile_drift_slides(
     compared to the global mean profile by L1 distance. All JVM: posexplode
     the feature array, one two-level aggregation, a broadcast join of the
     (tiny) global profile. Output: (slide, n_rows, l1, drifted) per slide.
+
+    Single input pass: the global profile is re-aggregated from the
+    per-slide sums (``sum(slide_sum)/sum(n)`` == ``avg(v)`` over all rows
+    up to fp associativity — the same reassociation any partial-aggregate
+    plan performs), so the exploded feature table is scanned once instead
+    of twice. At the 10^12-row shape the explode scan is the drift sink's
+    entire cost; the re-aggregation input is (slides x dims) rows.
     """
     dims = feats.select(
         (F.col("ordinal") / F.lit(slide_size)).cast("long").alias("slide"),
         F.posexplode("features").alias("dim", "v"),
     )
     per_slide = dims.groupBy("slide", "dim").agg(
-        F.avg("v").alias("slide_mean"), F.count(F.lit(1)).alias("n")
+        F.avg("v").alias("slide_mean"),
+        F.count(F.lit(1)).alias("n"),
+        F.sum("v").alias("slide_sum"),
     )
-    global_profile = dims.groupBy("dim").agg(F.avg("v").alias("global_mean"))
+    from pyspark import StorageLevel
+
+    per_slide = per_slide.persist(StorageLevel.MEMORY_AND_DISK)
+    global_profile = per_slide.groupBy("dim").agg(
+        (F.sum("slide_sum") / F.sum("n")).alias("global_mean")
+    )
     l1 = (
         per_slide.join(F.broadcast(global_profile), "dim")
         .groupBy("slide")

