@@ -37,7 +37,7 @@ from pyspark.sql import types as T
 from .config import DetectorConfig
 from .operators import profile as profile_ops
 from .operators.detector import detect
-from .operators.image_checks import row_checks_and_features
+from .operators.image_checks import N_HIST_BINS, row_checks_and_features
 
 EXPECTED_SCHEMA = T.StructType(
     [
@@ -172,7 +172,7 @@ def validate_images(
         .orderBy("ordinal")
     )
     drift_slides = profile_drift_slides(
-        feats, cfg.drift_slide_size, cfg.drift_l1_limit
+        feats, cfg.drift_slide_size, cfg.drift_l1_limit, dim=2 + N_HIST_BINS
     )
 
     row_violations = checks.where("is_violation").select(
@@ -225,45 +225,75 @@ def validate_images(
 
 
 def profile_drift_slides(
-    feats: DataFrame, slide_size: int, l1_limit: float
+    feats: DataFrame, slide_size: int, l1_limit: float, dim: int | None = None
 ) -> DataFrame:
     """Per-slide distribution-drift check (sustained-shift detector).
 
     Mean feature profile per slide of ``slide_size`` consecutive ordinals,
-    compared to the global mean profile by L1 distance. All JVM: posexplode
-    the feature array, one two-level aggregation, a broadcast join of the
-    (tiny) global profile. Output: (slide, n_rows, l1, drifted) per slide.
+    compared to the global mean profile by L1 distance. All JVM.
+    Output: (slide, n_rows, l1, drifted) per slide.
 
-    Single input pass: the global profile is re-aggregated from the
-    per-slide sums (``sum(slide_sum)/sum(n)`` == ``avg(v)`` over all rows
-    up to fp associativity — the same reassociation any partial-aggregate
-    plan performs), so the exploded feature table is scanned once instead
-    of twice. At the 10^12-row shape the explode scan is the drift sink's
-    entire cost; the re-aggregation input is (slides x dims) rows.
-    """
-    dims = feats.select(
-        (F.col("ordinal") / F.lit(slide_size)).cast("long").alias("slide"),
-        F.posexplode("features").alias("dim", "v"),
-    )
-    per_slide = dims.groupBy("slide", "dim").agg(
-        F.avg("v").alias("slide_mean"),
-        F.count(F.lit(1)).alias("n"),
-        F.sum("v").alias("slide_sum"),
-    )
-    from pyspark import StorageLevel
+    Single input pass either way: the global profile is re-aggregated
+    from the per-slide sums (``sum(slide_sum)/sum(n)`` == ``avg(v)`` over
+    all rows up to fp associativity — the same reassociation any
+    partial-aggregate plan performs). At the 10^12-row shape the feature
+    scan is the drift sink's entire cost; the re-aggregation input is
+    O(slides x dims) rows.
 
-    per_slide = per_slide.persist(StorageLevel.MEMORY_AND_DISK)
-    global_profile = per_slide.groupBy("dim").agg(
-        (F.sum("slide_sum") / F.sum("n")).alias("global_mean")
-    )
-    l1 = (
-        per_slide.join(F.broadcast(global_profile), "dim")
-        .groupBy("slide")
-        .agg(
-            F.sum(F.abs(F.col("slide_mean") - F.col("global_mean"))).alias("l1"),
-            F.max("n").alias("n_rows"),
+    When ``dim`` is known (the validator's digest features have a fixed
+    package-constant width), the plan is EXPLODE-FREE: per-dim sums
+    compile to ``dim`` codegen aggregate expressions over the array
+    columns, so the shuffle carries one (1 + dim)-column row per slide
+    instead of ``dim`` exploded rows per input row — at 1M x 10-dim that
+    is 10M narrow shuffle rows removed, the exact allocation-heavy
+    pattern the host punishes (BENCH.md round-3 forensics). Falls back to
+    posexplode + two-level aggregation when ``dim`` is None (unknown
+    width)."""
+    slide_col = (F.col("ordinal") / F.lit(slide_size)).cast("long").alias("slide")
+    if dim is not None:
+        per_slide = feats.select(slide_col, "features").groupBy("slide").agg(
+            F.count(F.lit(1)).alias("n"),
+            *[F.sum(F.col("features")[i]).alias(f"s{i}") for i in range(dim)],
         )
-    )
+        from pyspark import StorageLevel
+
+        per_slide = per_slide.persist(StorageLevel.MEMORY_AND_DISK)
+        glob = per_slide.groupBy().agg(
+            F.sum("n").alias("gn"),
+            *[F.sum(f"s{i}").alias(f"g{i}") for i in range(dim)],
+        )
+        l1_expr = sum(
+            F.abs(F.col(f"s{i}") / F.col("n") - F.col(f"g{i}") / F.col("gn"))
+            for i in range(dim)
+        ).alias("l1")
+        l1 = per_slide.crossJoin(F.broadcast(glob)).select(
+            "slide", F.col("n").alias("n_rows"), l1_expr
+        )
+    else:
+        dims = feats.select(
+            slide_col,
+            F.posexplode("features").alias("dim", "v"),
+        )
+        per_slide = dims.groupBy("slide", "dim").agg(
+            F.avg("v").alias("slide_mean"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum("v").alias("slide_sum"),
+        )
+        from pyspark import StorageLevel
+
+        per_slide = per_slide.persist(StorageLevel.MEMORY_AND_DISK)
+        global_profile = per_slide.groupBy("dim").agg(
+            (F.sum("slide_sum") / F.sum("n")).alias("global_mean")
+        )
+        l1 = (
+            per_slide.join(F.broadcast(global_profile), "dim")
+            .groupBy("slide")
+            .agg(
+                F.sum(F.abs(F.col("slide_mean") - F.col("global_mean"))).alias("l1"),
+                F.max("n").alias("n_rows"),
+            )
+            .select("slide", "n_rows", "l1")
+        )
     return l1.select(
         "slide",
         "n_rows",

@@ -139,7 +139,7 @@ def run_one_detector(cores: int, feat_path: str) -> None:
         anomalies = det.join(
             src.select((F.col("ordinal") + 1).alias("id"), "image_id"), "id"
         ).select("image_id", (F.col("id") - 1).alias("ordinal"))
-        drift = profile_drift_slides(src, 50, 45.0)
+        drift = profile_drift_slides(src, 50, 45.0, dim=10)
         return anomalies, drift
 
     # untimed warm pass over a contiguous ~3% prefix (JIT/codegen outside
