@@ -150,6 +150,33 @@ def evaluations(
     return evals.withColumn("is_inlier", F.col("cnt") >= F.lit(k))
 
 
+def _with_zero_rows(
+    slide_counts: DataFrame, points_with_slide: DataFrame, cfg: DetectorConfig
+) -> DataFrame:
+    """Union one zero-count row per id 1..cfg.n_total onto the count table.
+
+    The count kernels emit only NONZERO bins, so a point with no
+    neighbors anywhere is absent from ``slide_counts``; the zero rows
+    enumerate every point (the contiguous-id contract behind
+    ``cfg.n_total``) so the per-id aggregation needs no join back to the
+    points table. The rows are generated in place by ``range`` (no scan,
+    no IO) and merge in the aggregation's map-side combine.
+    """
+    from .windows import slide_of
+
+    sl = slide_of(F.col("id"), cfg.slide)
+    zeros = points_with_slide.sparkSession.range(1, cfg.n_total + 1).select(
+        F.col("id").alias("i"),
+        sl.alias("slide_i"),
+        sl.alias("slide_j"),
+        F.lit(0).cast("long").alias("c"),
+        F.lit(0).cast("long").alias("c_arr"),
+    )
+    return slide_counts.select(
+        "i", "slide_i", "slide_j", "c", "c_arr"
+    ).unionByName(zeros)
+
+
 def per_point_verdicts(
     points_with_slide: DataFrame,
     slide_counts: DataFrame,
@@ -176,6 +203,15 @@ def per_point_verdicts(
     the full status trajectory (module docstring). The per-id evaluation
     loop is a transform/aggregate over a tiny array (<= 2*ws-1 structs x
     <= ws batches) — whole-stage codegen, no explode, no extra shuffle.
+
+    When ``cfg.n_total`` is set (the production contract: ids are the
+    contiguous sequence 1..n_total, validated at the entry layer), the
+    per-point frame is built JOIN-FREE: the count kernels emit only
+    nonzero bins, so isolated points are enumerated by unioning one
+    zero-count row per id from a ``range`` — generated in place, merged
+    by the map-side combine of the aggregation shuffle that already
+    exists. That removes the O(n) base-side shuffle + sort-merge join
+    the fallback path pays to re-attach points with no count rows.
     """
     ws, k = cfg.ws, cfg.k
     if ws <= 24:
@@ -191,7 +227,12 @@ def per_point_verdicts(
         return _per_point_verdicts_pivoted(
             points_with_slide, slide_counts, cfg, b_total
         )
-    grouped = slide_counts.groupBy("i", "slide_i", "slide_j").agg(
+    counts_src = (
+        _with_zero_rows(slide_counts, points_with_slide, cfg)
+        if cfg.n_total
+        else slide_counts
+    )
+    grouped = counts_src.groupBy("i", "slide_i", "slide_j").agg(
         F.sum("c").alias("c"), F.sum("c_arr").alias("ca")
     )
     per_id = grouped.groupBy(F.col("i").alias("id")).agg(
@@ -201,8 +242,11 @@ def per_point_verdicts(
         ).alias("bins"),
         F.sum("ca").alias("cnt_arrival"),
     )
-    base = points_with_slide.select("id", "slide")
-    joined = base.join(per_id.drop("slide"), "id", "left")
+    if cfg.n_total:
+        joined = per_id
+    else:
+        base = points_with_slide.select("id", "slide")
+        joined = base.join(per_id.drop("slide"), "id", "left")
     n_b = (
         F.least(F.lit(b_total), F.col("slide") + F.lit(ws - 1))
         - F.col("slide")
@@ -263,10 +307,17 @@ def _per_point_verdicts_pivoted(
     every window sum / threshold test is a flat whole-stage-codegen
     expression. Bit-identical semantics to the higher-order formulation
     (property-tested equal); the derivation in per_point_verdicts'
-    docstring applies unchanged."""
+    docstring applies unchanged. Join-free under the ``cfg.n_total``
+    contiguous-id contract (zero-row union, see per_point_verdicts)."""
     ws, k = cfg.ws, cfg.k
     off = F.col("slide_j") - F.col("slide_i")
-    per_id = slide_counts.groupBy(F.col("i").alias("id")).agg(
+    counts_src = (
+        _with_zero_rows(slide_counts, points_with_slide, cfg)
+        if cfg.n_total
+        else slide_counts
+    )
+    per_id = counts_src.groupBy(F.col("i").alias("id")).agg(
+        F.min("slide_i").alias("slide"),
         *[
             F.sum(
                 F.when(off == o, F.col("c")).otherwise(F.lit(0).cast("long"))
@@ -275,8 +326,11 @@ def _per_point_verdicts_pivoted(
         ],
         F.sum("c_arr").alias("cnt_arrival"),
     )
-    base = points_with_slide.select("id", "slide")
-    joined = base.join(per_id, "id", "left")
+    if cfg.n_total:
+        joined = per_id
+    else:
+        base = points_with_slide.select("id", "slide")
+        joined = base.join(per_id.drop("slide"), "id", "left")
     n_b = (
         F.least(F.lit(b_total), F.col("slide") + F.lit(ws - 1))
         - F.col("slide")

@@ -84,7 +84,17 @@ def materialize_features(n: int) -> str:
         vcfg,
         payload_path=img_path,
     )
-    report.features.repartition(128).write.mode("overwrite").parquet(feat_path)
+    # re-sequence ordinals (undecodable rows leave gaps) so the written
+    # table satisfies the detector's contiguous-id contract (n_total)
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    feats = report.features.select(
+        "image_id",
+        (F.row_number().over(Window.orderBy("ordinal")) - 1).alias("ordinal"),
+        "features",
+    )
+    feats.repartition(128).write.mode("overwrite").parquet(feat_path)
     spark.stop()
     return feat_path
 

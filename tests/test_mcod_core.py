@@ -166,3 +166,44 @@ def test_pivoted_verdicts_equal_higher_order(spark, gauss2d):
         for r in _per_point_verdicts_pivoted(pts, counts, cfg, b_total).collect()
     }
     assert piv == hof
+
+
+def test_join_free_verdicts_equal_join_path(spark):
+    """per_point_verdicts with cfg.n_total (join-free zero-row union) must
+    equal the base-join fallback, including ISOLATED points (no count
+    rows anywhere) — the case the zero rows exist for. Exercises both the
+    pivoted (ws <= 24) and higher-order formulations."""
+    import dataclasses
+
+    from approximate_anomaly_detection_in_data_streams_spark.operators.detector import (
+        per_point_verdicts,
+    )
+    from approximate_anomaly_detection_in_data_streams_spark.operators.pairs import (
+        exact_neighbor_counts,
+    )
+    from approximate_anomaly_detection_in_data_streams_spark.operators.windows import (
+        n_batches,
+        with_slide,
+    )
+
+    rng = np.random.default_rng(11)
+    # dense cluster + far-flung isolated points sprinkled through the stream
+    X = rng.normal(0, 0.2, size=(400, 2))
+    iso = rng.integers(0, 400, size=25)
+    X[iso] += 50.0 + np.arange(len(iso))[:, None] * 17.0  # mutually distant
+    for w, s in ((100, 20), (120, 4)):  # ws=5 (pivoted) and ws=30 (array path)
+        cfg = DetectorConfig(w=w, slide=s, r=0.5, k=4)
+        points = to_points_df(spark, X)
+        pts = with_slide(points, cfg)
+        b_total = n_batches(points, cfg)
+        counts = exact_neighbor_counts(pts, cfg)
+        base = {
+            r.id: (r.ever_inlier, r.ever_outlier)
+            for r in per_point_verdicts(pts, counts, cfg, b_total).collect()
+        }
+        cfg_n = dataclasses.replace(cfg, n_total=len(X))
+        fused = {
+            r.id: (r.ever_inlier, r.ever_outlier)
+            for r in per_point_verdicts(pts, counts, cfg_n, b_total).collect()
+        }
+        assert fused == base, (w, s)
