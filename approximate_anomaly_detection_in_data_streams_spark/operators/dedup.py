@@ -220,54 +220,23 @@ def minhash_signatures(
     ).mapInPandas(emit, "id long, sig array<long>, n_sh int")
 
 
-def minhash_lsh_pairs(
+def _minhash_candidate_pairs(
     df: DataFrame,
     id_col: str,
     text_col: str,
-    n: int = 3,
-    num_perm: int = 96,
-    bands: int = 32,
-    threshold: float = 0.5,
-    seed: int = 42,
-    bucket_cap: int | None = 4000,
-    est_margin: float = 0.25,
-    block_size: int = 512,
+    n: int,
+    num_perm: int,
+    bands: int,
+    threshold: float,
+    seed: int,
+    bucket_cap: int | None,
+    est_margin: float,
+    block_size: int,
 ) -> DataFrame:
-    """Near-dup candidate pairs via MinHash banding + exact Jaccard verify.
-
-    bands x rows layout (rows = num_perm / bands); a pair is a candidate iff
-    some band's row-slice hashes collide — an equi-join on (band, band_hash),
-    which is the scalable path (no all-pairs). Three skew defenses keep hot
-    bands bounded on corpora where many documents are mutually similar:
-
-      * ``bucket_cap``: a (band, band_hash) bucket larger than the cap is
-        deterministically thinned (member kept iff its seeded hash is 0 mod
-        ceil(m/cap)) — the bounded-bucket approximation the reference
-        applies under pressure (/root/reference/src/core/lsh/
-        HashTable.java:22-35, made deterministic per SURVEY.md section 5);
-        exact whenever no bucket exceeds the cap;
-      * ``block_size``: buckets are 2-D block-split — members hash into
-        ceil(m/block_size) blocks and every unordered block pair is an
-        independent kernel group — so a giant template bucket becomes many
-        bounded tasks instead of one quadratic straggler (the same grid as
-        embedding_neardup_pairs). Work is unchanged; the wall clock stops
-        being max-bucket-bound;
-      * signature-estimate pre-filter: candidates whose fraction of equal
-        minhash components falls below ``threshold - est_margin`` are
-        dropped before the exact verification.
-
-    Surviving candidates are verified with the exact shingle Jaccard, so
-    output precision is 1.0; banding/cap/estimate only affect recall.
-
-    Default parameters (96 perms, 32 bands x 3 rows, estimate cut at
-    threshold - 0.25) are sized so recall at the default-and-driver
-    threshold 0.7 is 1.0 up to negligible probability: a true pair at
-    j = 0.7 misses every band with (1 - 0.7^3)^32 ~ 1.4e-6 and fails the
-    estimate cut with P[Binom(96, 0.7) < 0.45*96] ~ 5e-8 — which is what
-    lets the exact-Jaccard SQL serve as this operator's oracle at test
-    scale (uncapped buckets there).
-    Output: (id_a, id_b, jaccard) ordered.
-    """
+    """Stage 1 of minhash_lsh_pairs: banded candidate generation down to
+    globally-distinct bare (id_a, id_b) pairs. Split out so benchmarks and
+    profiles can time candidate generation and exact verification
+    independently; all semantics documented on minhash_lsh_pairs."""
     rows = num_perm // bands
     # a small-file corpus (test scale: one parquet footer) would otherwise
     # run the signature kernel and the doc-side text fan on ONE core —
@@ -466,6 +435,88 @@ def minhash_lsh_pairs(
                 }
             )
 
+    sp = banded.sparkSession.conf.get("spark.sql.shuffle.partitions", "64")
+    # distinct() is LOAD-BEARING: cross-band duplicates of a pair land in
+    # DIFFERENT estimate tasks (the shuffle keys are per-band), so only a
+    # global dedupe shrinks the verify input — measured 2.5x fewer pair
+    # rows into the verify stage for less CPU than the duplicates cost
+    # downstream (a distinct-free variant re-measured 1.6x slower overall:
+    # the verify stage's shuffle read + JVM sort scale with the raw
+    # multiset). The per-task unique in the emit kernel stays: it is
+    # nearly free and trims same-task repeats before the distinct.
+    cand = (
+        fanned.repartition(int(sp), "band", "bh", "lo", "hi")
+        .sortWithinPartitions("band", "bh", "lo", "hi")
+        .mapInArrow(emit, "id_a long, id_b long")
+        .distinct()
+    )
+    return cand
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_perm: int = 96,
+    bands: int = 32,
+    threshold: float = 0.5,
+    seed: int = 42,
+    bucket_cap: int | None = 4000,
+    est_margin: float = 0.25,
+    block_size: int = 512,
+) -> DataFrame:
+    """Near-dup candidate pairs via MinHash banding + exact Jaccard verify.
+
+    bands x rows layout (rows = num_perm / bands); a pair is a candidate iff
+    some band's row-slice hashes collide — an equi-join on (band, band_hash),
+    which is the scalable path (no all-pairs). Three skew defenses keep hot
+    bands bounded on corpora where many documents are mutually similar:
+
+      * ``bucket_cap``: a (band, band_hash) bucket larger than the cap is
+        deterministically thinned (member kept iff its seeded hash is 0 mod
+        ceil(m/cap)) — the bounded-bucket approximation the reference
+        applies under pressure (/root/reference/src/core/lsh/
+        HashTable.java:22-35, made deterministic per SURVEY.md section 5);
+        exact whenever no bucket exceeds the cap;
+      * ``block_size``: buckets are 2-D block-split — members hash into
+        ceil(m/block_size) blocks and every unordered block pair is an
+        independent kernel group — so a giant template bucket becomes many
+        bounded tasks instead of one quadratic straggler (the same grid as
+        embedding_neardup_pairs). Work is unchanged; the wall clock stops
+        being max-bucket-bound;
+      * signature-estimate pre-filter: candidates whose fraction of equal
+        minhash components falls below ``threshold - est_margin`` are
+        dropped before the exact verification.
+
+    Surviving candidates are verified with the exact shingle Jaccard, so
+    output precision is 1.0; banding/cap/estimate only affect recall.
+
+    Default parameters (96 perms, 32 bands x 3 rows, estimate cut at
+    threshold - 0.25) are sized so recall at the default-and-driver
+    threshold 0.7 is 1.0 up to negligible probability: a true pair at
+    j = 0.7 misses every band with (1 - 0.7^3)^32 ~ 1.4e-6 and fails the
+    estimate cut with P[Binom(96, 0.7) < 0.45*96] ~ 5e-8 — which is what
+    lets the exact-Jaccard SQL serve as this operator's oracle at test
+    scale (uncapped buckets there).
+    Output: (id_a, id_b, jaccard) ordered.
+    """
+    sp = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "64"))
+    if df.rdd.getNumPartitions() < sp // 2:
+        df = df.repartition(sp)
+    cand = _minhash_candidate_pairs(
+        df,
+        id_col,
+        text_col,
+        n,
+        num_perm,
+        bands,
+        threshold,
+        seed,
+        bucket_cap,
+        est_margin,
+        block_size,
+    )
     if n > 3:
         raise ValueError("packed shingle verify supports n <= 3")
 
@@ -589,21 +640,6 @@ def minhash_lsh_pairs(
                 }
             )
 
-    sp = banded.sparkSession.conf.get("spark.sql.shuffle.partitions", "64")
-    # distinct() is LOAD-BEARING: cross-band duplicates of a pair land in
-    # DIFFERENT estimate tasks (the shuffle keys are per-band), so only a
-    # global dedupe shrinks the verify input — measured 2.5x fewer pair
-    # rows into the verify stage for less CPU than the duplicates cost
-    # downstream (a distinct-free variant re-measured 1.6x slower overall:
-    # the verify stage's shuffle read + JVM sort scale with the raw
-    # multiset). The per-task unique in the emit kernel stays: it is
-    # nearly free and trims same-task repeats before the distinct.
-    cand = (
-        fanned.repartition(int(sp), "band", "bh", "lo", "hi")
-        .sortWithinPartitions("band", "bh", "lo", "hi")
-        .mapInArrow(emit, "id_a long, id_b long")
-        .distinct()
-    )
     # Distributed exact verify WITHOUT per-pair text payload: the previous
     # formulation joined both texts onto every candidate row, and shipping
     # ~pair_count * 2 * |doc| bytes through Arrow IPC to the Python workers
