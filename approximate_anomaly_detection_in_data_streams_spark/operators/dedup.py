@@ -32,11 +32,12 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-# Most-recent persisted MinHash signature table: minhash_lsh_pairs persists
-# its signature stage (two consumers), and a lazily-built plan gives no
-# hook to unpersist when the consumer finishes — so each new call releases
-# the previous call's table instead (bench reps / repeated notebook calls
-# hold at most ONE signature table, not a monotone leak). CONTRACT
+# Persisted MinHash tables of the most-recent call (the narrow membership
+# table + the wide rep signature table — each has multiple consumers), and
+# a lazily-built plan gives no hook to unpersist when the consumer
+# finishes — so each new minhash_lsh_pairs call releases the previous
+# call's tables at its start (bench reps / repeated notebook calls hold at
+# most ONE call's tables, not a monotone leak). CONTRACT
 # (ADVICE r3): execute a minhash_lsh_pairs plan before building the next
 # one — a plan built while an earlier one is still unexecuted loses that
 # plan's persist and recomputes its signature stage once per consumer
@@ -220,6 +221,115 @@ def minhash_signatures(
     ).mapInPandas(emit, "id long, sig array<long>, n_sh int")
 
 
+def _banded_fanout(
+    sig: DataFrame,
+    sk_expr,
+    bands: int,
+    rows: int,
+    bucket_cap: int | None,
+    block_size: int,
+    seed: int,
+) -> DataFrame:
+    """Banded-LSH fan-out (the large-corpus strategy of
+    _minhash_candidate_pairs): signature table -> per-band bucket keys ->
+    bucket sizes -> thin oversized buckets (bucket_cap) -> 2-D block split
+    (block_size). Emits the kernel row shape
+    (id, sk, bhs, sz, dmask, band, bh, bi, lo, hi).
+
+    FIRST-BAND OWNERSHIP: a near-threshold pair collides in MANY bands
+    (E[colliding bands] ~ bands * j^rows, ~7-10 here), so per-band
+    emission used to produce a ~7x-duplicated pair multiset that only a
+    global distinct() could dedupe (measured: 15M raw emissions for
+    2.26M distinct pairs at sf0.1 — the distinct's shuffle+sort was the
+    2nd-hottest stage). Instead, each row carries its id's full per-band
+    bucket-hash vector ``bhs`` (map-side, below) plus a ``dmask`` bitmask
+    of bands where the id was capped away, and the kernel emits a pair
+    ONLY at the first band where both members are retained with equal
+    hashes — a purely local decision that makes emission exactly-once
+    GLOBALLY, so the distinct() disappears. Recall semantics are
+    IDENTICAL to the distinct-based path, including under bucket_cap
+    thinning: a pair is emitted iff some band retains both members in one
+    bucket (the reference's union-across-hash-tables behavior,
+    HashTable.java:81-101), because the ownership scan skips bands where
+    either member was thinned."""
+    band_hashes = F.array(
+        *[
+            F.xxhash64(*[F.col("sig")[bnd * rows + r] for r in range(rows)])
+            for bnd in range(bands)
+        ]
+    )
+    # wide: everything downstream needs of the signature, derived
+    # MAP-SIDE so the num_perm*8-byte sig array itself never crosses a
+    # shuffle (at 384 perms it is 3 KB/row):
+    #   sk  — 1-byte/perm agreement sketch for the estimate kernel;
+    #   bhs — per-band 31-bit bucket-hash vector for the kernel's
+    #         first-band-ownership filter;
+    #   sz  — distinct-shingle count for the exact prefix-filter size
+    #         prune (rep counts ARE member counts: grouping is by
+    #         verbatim text, so the prune is exact at both levels).
+    # persisted: wide feeds both the bucket-size aggregation and the
+    # fan-out join — without the persist the map-only signature kernel
+    # would run once per consumer. Registered in _LIVE_SIG; released at
+    # the start of the next minhash_lsh_pairs call.
+    wide = sig.select(
+        "id",
+        sk_expr.alias("sk"),
+        F.transform(
+            band_hashes,
+            lambda h: h.bitwiseAND(F.lit((1 << 31) - 1)).cast("int"),
+        ).alias("bhs"),
+        band_hashes.alias("bh64"),
+        F.col("n_sh").alias("sz"),
+    ).persist()
+    with _LIVE_SIG_LOCK:
+        _LIVE_SIG.append(wide)
+    # per-band fan-out explodes map-side off the persisted rep table
+    banded = wide.select(
+        "id",
+        "sk",
+        "bhs",
+        "sz",
+        F.posexplode("bh64").alias("band", "bh"),
+    )
+    cap = bucket_cap or (1 << 30)
+    sizes = banded.groupBy("band", "bh").agg(F.count(F.lit(1)).alias("m"))
+    keyed = banded.join(sizes, ["band", "bh"])
+    if bucket_cap is not None:
+        stride = F.ceil(F.col("m") / F.lit(cap)).cast("long")
+        thinned = F.pmod(F.xxhash64("id", F.lit(seed)), stride) != 0
+        # dmask: per-id bitmask of bands the id was thinned OUT of. Built
+        # from a SLIM (id, band) projection so the wide sk/bhs payload
+        # never rides the aggregation; empty whenever no bucket exceeds
+        # the cap (the common case), in which case AQE turns the left
+        # join below into a broadcast of an empty table.
+        removed = (
+            keyed.where((F.col("m") > cap) & thinned)
+            .groupBy("id")
+            .agg(F.sum(F.expr("shiftleft(1L, band)")).alias("dmask"))
+        )
+        keyed = keyed.where((F.col("m") <= cap) | ~thinned)
+        keyed = keyed.join(removed, "id", "left").withColumn(
+            "dmask", F.coalesce(F.col("dmask"), F.lit(0).cast("long"))
+        )
+    else:
+        keyed = keyed.withColumn("dmask", F.lit(0).cast("long"))
+    nb = F.greatest(F.ceil(F.col("m") / F.lit(block_size)).cast("int"), F.lit(1))
+    keyed = keyed.withColumn(
+        "bi", F.pmod(F.xxhash64("id", F.lit(seed + 1)), nb).cast("int")
+    )
+    block_pairs = F.transform(
+        F.sequence(F.lit(0), nb - 1),
+        lambda x: F.struct(
+            F.least(F.col("bi"), x).alias("lo"),
+            F.greatest(F.col("bi"), x).alias("hi"),
+        ),
+    )
+    return keyed.select(
+        "id", "sk", "bhs", "sz", "dmask", "band", "bh", "bi",
+        F.explode(block_pairs).alias("t"),
+    ).select("id", "sk", "bhs", "sz", "dmask", "band", "bh", "bi", "t.lo", "t.hi")
+
+
 def _minhash_candidate_pairs(
     df: DataFrame,
     id_col: str,
@@ -232,12 +342,52 @@ def _minhash_candidate_pairs(
     bucket_cap: int | None,
     est_margin: float,
     block_size: int,
+    band_rows: int = 3,
+    allpairs_max_reps: int = 24000,
 ) -> DataFrame:
     """Stage 1 of minhash_lsh_pairs: banded candidate generation down to
-    globally-distinct bare (id_a, id_b) pairs. Split out so benchmarks and
-    profiles can time candidate generation and exact verification
-    independently; all semantics documented on minhash_lsh_pairs."""
-    rows = num_perm // bands
+    globally-distinct bare (id_a, id_b) REP pairs. Split out so benchmarks
+    and profiles can time candidate generation and exact verification
+    independently; all semantics documented on minhash_lsh_pairs.
+
+    Returns ``(rep_pairs, membership, reps)``:
+      * ``rep_pairs`` — distinct (id_a, id_b) candidate pairs between group
+        representatives, PLUS one (r, r) self pair per verbatim-duplicate
+        group with >1 member (identical texts are candidates by
+        construction — the exact verify scores a self pair 1.0, or drops
+        it when the shared text has no shingles, exactly the oracle's
+        semantics for identical texts);
+      * ``membership`` — persisted narrow (id, rep_id, gm) table mapping
+        every document to its verbatim-duplicate group;
+      * ``reps`` — (id, text) of one representative per group, the only
+        texts the verify stage needs.
+
+    Banding reads only the first ``bands * band_rows`` permutations; the
+    agreement estimate reads ALL ``num_perm``. Decoupling them is the
+    point: banding recall needs short rows (P[band collides] = j^rows),
+    while the estimate's discriminating power needs many permutations
+    (sd = sqrt(j(1-j)/num_perm)). Tying rows = num_perm/bands forced a
+    96-perm estimate whose sd (0.047 at j=0.7) demanded a 0.25 safety
+    margin — and on a near-threshold-heavy corpus the [threshold-0.25,
+    threshold) mass is millions of pairs that all flow through distinct +
+    expansion + exact verify (measured 4.78M candidate pairs for a
+    905-pair answer at sf0.1). A 384-perm estimate (sd 0.023) holds the
+    same 4.5-sigma recall bound at margin 0.105 and admits ~4x fewer.
+
+    Banding/estimate run REP-LEVEL: verbatim-identical texts are grouped
+    first (below) and one representative per group enters the signature /
+    banding / kernel stages, so every id seen there stands for a whole
+    exact-duplicate group. Pairs returned are rep pairs; expansion back
+    to member pairs happens in minhash_lsh_pairs AFTER the exact verify
+    (expanding unverified candidates would multiply the verify input by
+    gm_a*gm_b — the 50k-doc/500-template stress corpus would expand
+    ~125k near-threshold rep candidates to ~1.2e9 member pairs before
+    verification; measured executor OOM)."""
+    rows = band_rows
+    if bands * rows > num_perm:
+        raise ValueError(
+            f"bands*band_rows = {bands * rows} exceeds num_perm = {num_perm}"
+        )
     # a small-file corpus (test scale: one parquet footer) would otherwise
     # run the signature kernel and the doc-side text fan on ONE core —
     # measured ~3 s of serial time at sf0.1. At corpus scale the input is
@@ -245,15 +395,37 @@ def _minhash_candidate_pairs(
     sp_width = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "64"))
     if df.rdd.getNumPartitions() < sp_width // 2:
         df = df.repartition(sp_width)
-    # persisted: the signature table feeds both the bucket-size aggregation
-    # and the fan-out join — without the persist the map-only signature
-    # kernel would run once per consumer. Previous calls' tables are
-    # released here (see _LIVE_SIG).
-    sig = minhash_signatures(df, id_col, text_col, n, num_perm, seed).persist()
+    docs = df.select(
+        F.col(id_col).cast("long").alias("id"), F.col(text_col).alias("text")
+    )
+    # VERBATIM-DUPLICATE GROUPING: group by a content hash (null coalesced
+    # to "" — both have zero shingles, so merging them never changes the
+    # output), elect min(id) as the group representative, and run banding /
+    # estimate / verify on REPS ONLY. The group-info aggregation shuffles
+    # only (gh, id) — the text column is pruned map-side — and the rep
+    # extraction is one id equi-join. On dup-heavy corpora (the 50k-doc /
+    # 500-template stress test: 100 verbatim copies per template) this
+    # collapses the m x m agreement planes 100x per axis AND removes the
+    # duplicated docs from every bucket, which is what the round-3 verdict
+    # item 2 asked for: identical texts => identical signatures => the
+    # template buckets that dominated the kernel were mostly verbatim
+    # copies re-compared against each other.
+    idg = docs.select(
+        "id", F.sha2(F.coalesce(F.col("text"), F.lit("")), 256).alias("gh")
+    )
+    ginfo = idg.groupBy("gh").agg(
+        F.min("id").alias("rep_id"), F.count(F.lit(1)).alias("gm")
+    )
+    # persisted: feeds the self-pair scan here and the two expansion joins
+    # in minhash_lsh_pairs; narrow (24 B/row). Registered in _LIVE_SIG;
+    # released at the start of the next minhash_lsh_pairs call.
+    membership = idg.join(ginfo, "gh").select("id", "rep_id", "gm").persist()
     with _LIVE_SIG_LOCK:
-        while _LIVE_SIG:
-            _LIVE_SIG.pop().unpersist()
-        _LIVE_SIG.append(sig)
+        _LIVE_SIG.append(membership)
+    reps = docs.join(
+        ginfo.select(F.col("rep_id").alias("id")), "id", "leftsemi"
+    )
+    sig = minhash_signatures(reps, "id", "text", n, num_perm, seed)
     # The estimate kernel never needs the full 64-bit minima — only which
     # components AGREE. A 1-byte/perm sketch (low byte of each minimum,
     # shifted into tinyint range; equal minima => equal bytes, so sketch
@@ -261,31 +433,74 @@ def _minhash_candidate_pairs(
     # shuffle payload ~8x and the kernel's broadcast-compare read traffic
     # ~8x; the ~1/256-per-perm collision inflation only ever ADDS
     # candidates, which the exact verify then rejects.
-    banded = sig.select(
-        "id",
-        F.expr("transform(sig, x -> cast((x & 255) - 128 as tinyint))").alias("sk"),
-        F.col("n_sh").alias("sz"),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(bnd).alias("band"),
-                        F.xxhash64(
-                            *[F.col("sig")[bnd * rows + r] for r in range(rows)]
-                        ).alias("bh"),
-                    )
-                    for bnd in range(bands)
-                ]
+    sk_expr = F.expr("transform(sig, x -> cast((x & 255) - 128 as tinyint))")
+    # COST-BASED STRATEGY SWITCH (the choice a cost-based planner would
+    # make; the count materializes the persisted membership table, which
+    # every downstream consumer reads anyway):
+    #
+    #  * small rep counts (n_reps <= allpairs_max_reps): 2-D BLOCKED
+    #    ALL-PAIRS SKETCH SCREEN. Every unordered block pair is one cell;
+    #    each rep's sketch ships nb ~ n_reps/block_size times and each
+    #    pair's tier-1 plane cell is computed EXACTLY ONCE. Banding at
+    #    this size does strictly more plane work — a near-threshold pair
+    #    collides in E ~ bands * j^rows ~ 7-10 bands, and its plane cell
+    #    is recomputed in every colliding bucket until the ownership
+    #    filter drops all but the first — plus a bands-times-larger
+    #    fan-out shuffle (measured at sf0.1, 5k docs: banding 6.7 s vs
+    #    0.9 s for the screen, identical candidates). Recall is strictly
+    #    BETTER than banding: the band-miss term (1 - j^rows)^bands
+    #    disappears, leaving only the estimate-cut tail.
+    #  * large rep counts: banded LSH, the asymptotic path — the screen's
+    #    plane is Theta(n_reps^2 * t1) bytes, which at 24k reps is ~28 GB
+    #    of compare traffic (sub-second per core across a cluster) but at
+    #    1M reps would be 48 TB; banding's bucket planes scale with
+    #    collision mass instead.
+    n_reps = membership.where(F.col("id") == F.col("rep_id")).count()
+    if n_reps <= allpairs_max_reps:
+        nb = max(-(-n_reps // block_size), 1)
+        g = F.pmod(F.xxhash64("id", F.lit(seed + 1)), F.lit(nb)).cast("int")
+        scr = sig.select(
+            "id", sk_expr.alias("sk"), F.col("n_sh").alias("sz"), g.alias("g")
+        )
+        cell = (F.least("g", "o") * nb + F.greatest("g", "o")).cast("long")
+        # same row shape as the banding path so ONE kernel serves both:
+        # band=0 everywhere, bh = the cell id, bhs a 1-element vector (the
+        # first-band ownership check degenerates to argmax over one
+        # always-true column), dmask=0 (no capping — blocks are uniform
+        # hash splits). Exactly-once emission holds structurally: the two
+        # members of a pair with blocks (ga, gb) meet in the single cell
+        # (min, max) and nowhere else.
+        fanned = (
+            scr.select(
+                "id",
+                "sk",
+                "sz",
+                "g",
+                F.explode(F.array(*[F.lit(o) for o in range(nb)])).alias("o"),
             )
-        ).alias("bk"),
-    ).select("id", "sk", "sz", "bk.band", "bk.bh")
+            .select(
+                "id",
+                "sk",
+                "sz",
+                F.lit(0).alias("band"),
+                cell.alias("bh"),
+                F.col("g").alias("bi"),
+                F.least("g", "o").alias("lo"),
+                F.greatest("g", "o").alias("hi"),
+                F.array(cell.cast("int")).alias("bhs"),
+                F.lit(0).cast("long").alias("dmask"),
+            )
+        )
+    else:
+        fanned = _banded_fanout(
+            sig, sk_expr, bands, rows, bucket_cap, block_size, seed
+        )
 
-    # Dataflow: banded keys -> bucket sizes -> thin oversized buckets
-    # (bucket_cap) -> 2-D block split (block_size) -> per-block-pair
-    # signature-estimate kernel -> distinct candidate pairs -> exact
+    # Dataflow: strategy-specific fan-out above -> per-cell two-tier
+    # signature-estimate kernel -> exactly-once candidate pairs -> exact
     # verify with candidate-only text joins. Load-bearing choices:
     #
-    #  * the estimate kernel runs per PARTITION (mapInPandas over
+    #  * the estimate kernel runs per PARTITION (mapInArrow over
     #    repartition+sortWithinPartitions), not per group — thousands of
     #    tiny buckets would pay per-group Arrow overhead otherwise — and
     #    giant buckets are block-split so no single task owns a quadratic
@@ -295,9 +510,10 @@ def _minhash_candidate_pairs(
     #  * candidate pairs cross the wire as BARE (id_a, id_b) int rows.
     #    The previous formulation joined two ~300-hash array payloads onto
     #    every candidate (~25 GB of Arrow traffic at sf0.1 for a
-    #    905-row output — measured 3x the rest of the pipeline). The
-    #    distinct() both dedupes across bands and hash-balances the verify
-    #    input;
+    #    905-row output — measured 3x the rest of the pipeline).
+    #    First-band ownership / single-cell routing makes the emission
+    #    exactly-once, so no global distinct is needed; the verify stage
+    #    hash-balances its own input with its (gi, gj) repartition;
     #  * verification is DISTRIBUTED: texts for candidate ids only are
     #    repartition-joined onto the bare (id_a, id_b) rows, and each
     #    task recomputes shingle sets (memoized per task, packed
@@ -305,29 +521,6 @@ def _minhash_candidate_pairs(
     #    jaccard is EXACT string jaccard (collision-free shingle ids for
     #    n <= 3) with no driver-side text dictionary at any scale.
     cut = threshold - est_margin
-    cap = bucket_cap or (1 << 30)
-    sizes = banded.groupBy("band", "bh").agg(F.count(F.lit(1)).alias("m"))
-    keyed = banded.join(sizes, ["band", "bh"])
-    if bucket_cap is not None:
-        stride = F.ceil(F.col("m") / F.lit(cap)).cast("long")
-        keyed = keyed.where(
-            (F.col("m") <= cap)
-            | (F.pmod(F.xxhash64("id", F.lit(seed)), stride) == 0)
-        )
-    nb = F.greatest(F.ceil(F.col("m") / F.lit(block_size)).cast("int"), F.lit(1))
-    keyed = keyed.withColumn(
-        "bi", F.pmod(F.xxhash64("id", F.lit(seed + 1)), nb).cast("int")
-    )
-    block_pairs = F.transform(
-        F.sequence(F.lit(0), nb - 1),
-        lambda x: F.struct(
-            F.least(F.col("bi"), x).alias("lo"),
-            F.greatest(F.col("bi"), x).alias("hi"),
-        ),
-    )
-    fanned = keyed.select(
-        "id", "sk", "sz", "band", "bh", "bi", F.explode(block_pairs).alias("t")
-    ).select("id", "sk", "sz", "band", "bh", "bi", "t.lo", "t.hi")
 
     def emit(batches):
         import pyarrow as pa
@@ -344,7 +537,32 @@ def _minhash_candidate_pairs(
         band, bh, lo, hi = band[order], bh[order], lo[order], hi[order]
         ids_all = tbl.column("id").to_numpy(zero_copy_only=False)[order]
         bi_all = tbl.column("bi").to_numpy(zero_copy_only=False)[order]
+        # retained-band bucket vectors as an (n, bands) int32 matrix;
+        # bands the id was capped OUT of (dmask bit set) get a
+        # per-row-unique negative sentinel so they can never compare
+        # equal across two rows (real hashes live in [0, 2^31)).
         sz_all = tbl.column("sz").to_numpy(zero_copy_only=False)[order]
+        bh_col = tbl.column("bhs").combine_chunks()
+        n_rows = len(band)
+        n_bands = len(bh_col[0]) if n_rows else 0
+        bhs_all = (
+            bh_col.flatten()
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int32, copy=True)
+            .reshape(n_rows, n_bands)[order]
+        )
+        dmask = tbl.column("dmask").to_numpy(zero_copy_only=False)[order]
+        if dmask.any():
+            absent = (
+                dmask[:, None] >> np.arange(n_bands, dtype=np.int64)[None, :]
+            ) & 1 > 0
+            sent = -(
+                2
+                + np.arange(n_rows * n_bands, dtype=np.int32).reshape(
+                    n_rows, n_bands
+                )
+            )
+            bhs_all = np.where(absent, sent, bhs_all)
         # sketches as ONE flat uint8 buffer reshaped (n, num_perm) — the
         # pandas path materialized a quarter-million per-row object arrays
         # and then copied them row-by-row into the kernel buffer (measured:
@@ -362,24 +580,39 @@ def _minhash_candidate_pairs(
         )
         bounds = np.flatnonzero(np.concatenate(([True], changed)))
         bounds = np.append(bounds, len(band))
+        # TWO-TIER ESTIMATE: the m x m agreement PLANE reads only the
+        # banded prefix (t1 = bands*band_rows perms, 96 by default) — the
+        # plane's byte traffic is the kernel's cost center and scales with
+        # m^2 * width, so widening it 4x for the 384-perm estimate would
+        # undo the sharper cut's savings. Tier 1 prunes at a LOOSE margin
+        # m1 (>= 4.5 sigma at t1 perms for any threshold, i.e. the r3
+        # shipped bound); tier 2 then compares the REMAINING num_perm - t1
+        # perms pairwise for tier-1 survivors only (a per-pair cost, not a
+        # plane) and applies the full sharp cut. Recall bound is the sum
+        # of two negligible tails; the admitted-candidate count is the
+        # sharp 384-perm cut's.
+        t1 = min(bands * rows, num_perm)
+        m1 = max(est_margin, 4.5 * (0.25 / t1) ** 0.5)
+        cut1 = (threshold - m1) * t1
         # preallocated scratch reused across groups: per-group fresh
         # allocation of the m x m planes would churn gigabytes
         max_m = int((bounds[1:] - bounds[:-1]).max())
-        CH = 64  # rows per 3-D agreement chunk (CH x max_m x num_perm bool)
+        CH = 64  # rows per 3-D agreement chunk (CH x max_m x t1 bool)
         agree = np.empty((max_m, max_m), dtype=np.int16)
         eq = np.empty((max_m, max_m), dtype=bool)
-        eq3 = np.empty((CH, max_m, num_perm), dtype=bool)
+        eq3 = np.empty((CH, max_m, t1), dtype=bool)
 
         def agreement(A: np.ndarray, B: np.ndarray, out: np.ndarray) -> np.ndarray:
-            """out[i, j] = #perms where A[i] == B[j] — chunked 3-D compare
-            with ONE sum-reduce pass, instead of num_perm separate m x m
-            read-modify-write plane passes (the former hot loop: ~96
-            passes per template-bucket block pair)."""
+            """out[i, j] = #perms of the t1 banded-prefix perms where
+            A[i] == B[j] — chunked 3-D compare with ONE sum-reduce pass,
+            instead of t1 separate m x m read-modify-write plane passes
+            (the former hot loop: ~96 passes per template-bucket block
+            pair)."""
             ma, mb = len(A), len(B)
             for r0 in range(0, ma, CH):
                 r1 = min(r0 + CH, ma)
                 buf = eq3[: r1 - r0, :mb]
-                np.equal(A[r0:r1, None, :], B[None, :, :], out=buf)
+                np.equal(A[r0:r1, None, :t1], B[None, :, :t1], out=buf)
                 buf.sum(axis=2, dtype=np.int16, out=out[r0:r1, :mb])
             return out[:ma, :mb]
 
@@ -390,15 +623,15 @@ def _minhash_candidate_pairs(
                 continue
             ids = ids_all[b0:b1]
             S = sigs_all[b0:b1]
+            H = bhs_all[b0:b1]
             sz = sz_all[b0:b1]
             if lo[b0] == hi[b0]:
                 a = agreement(S, S, agree)
                 e = eq[:m, :m]
                 np.less(ids[:, None], ids[None, :], out=e)
-                np.logical_and(a >= cut * num_perm, e, out=e)
+                np.logical_and(a >= cut1, e, out=e)
                 ai, bj = np.nonzero(e)
-                sa, sb = sz[ai], sz[bj]
-                ia, ib = ids[ai], ids[bj]
+                pa_, pb_ = ai, bj
             else:
                 side = bi_all[b0:b1] == lo[b0]
                 xi = np.flatnonzero(side)
@@ -407,27 +640,47 @@ def _minhash_candidate_pairs(
                 if ma == 0 or mb == 0:
                     continue
                 a = agreement(S[xi], S[yi], agree)
-                ai, bj = np.nonzero(a >= cut * num_perm)
-                sa, sb = sz[xi][ai], sz[yi][bj]
-                u, v = ids[xi][ai], ids[yi][bj]
-                ia, ib = np.minimum(u, v), np.maximum(u, v)
-            # size prune (exact, classic prefix-filter bound): jaccard <=
-            # min(|A|,|B|)/max(|A|,|B|), so a pair whose shingle-set sizes
-            # are out of ratio can never verify at ``threshold`` — applied
-            # to estimate survivors only (per-pair cost, not a plane)
-            keep = np.minimum(sa, sb) >= threshold * np.maximum(sa, sb)
-            out_a.append(ia[keep])
-            out_b.append(ib[keep])
+                ai, bj = np.nonzero(a >= cut1)
+                pa_, pb_ = xi[ai], yi[bj]
+            if num_perm > t1 and len(pa_):
+                # tier 2: pairwise rest-compare (num_perm - t1 perms) for
+                # tier-1 survivors only, chunked so a dense block's
+                # survivor set never materializes a large 2-D temp
+                base = a[ai, bj].astype(np.int32)
+                rest = S[:, t1:]
+                extra = np.empty(len(pa_), dtype=np.int32)
+                for c0 in range(0, len(pa_), 65536):
+                    c1 = min(c0 + 65536, len(pa_))
+                    extra[c0:c1] = (
+                        rest[pa_[c0:c1]] == rest[pb_[c0:c1]]
+                    ).sum(axis=1, dtype=np.int32)
+                keep2 = base + extra >= cut * num_perm
+                pa_, pb_ = pa_[keep2], pb_[keep2]
+            elif len(pa_):
+                keep2 = a[ai, bj] >= cut * num_perm
+                pa_, pb_ = pa_[keep2], pb_[keep2]
+            ha, hb = H[pa_], H[pb_]
+            sa, sb = sz[pa_], sz[pb_]
+            u, v = ids[pa_], ids[pb_]
+            ia, ib = np.minimum(u, v), np.maximum(u, v)
+            if len(ia):
+                # first-band ownership: emit only where THIS band is the
+                # pair's first mutually-retained colliding band. The
+                # current band always matches (same bucket, both
+                # retained), so argmax finds a True column. Combined with
+                # the exact prefix-filter size bound (jaccard <=
+                # min(|A|,|B|)/max(|A|,|B|)) — exact at the member level
+                # too, since members share the rep's verbatim text.
+                first = np.argmax(ha == hb, axis=1)
+                keep = (first == band[b0]) & (
+                    np.minimum(sa, sb) >= threshold * np.maximum(sa, sb)
+                )
+                ia, ib = ia[keep], ib[keep]
+            out_a.append(ia)
+            out_b.append(ib)
         if out_a:
             ia = np.concatenate(out_a)
             ib = np.concatenate(out_b)
-            # per-task dedupe: one document pair collides in MANY bands
-            # (template clusters collide in every band), and this task
-            # holds many bands' buckets — dropping same-task repeats here
-            # shrinks the pair shuffle before it is written. The verify
-            # kernel's per-group unique is the authoritative global
-            # dedupe (a pair maps to exactly one (gi, gj) group).
-            ia, ib = _unique_pairs(ia, ib)
             yield pa.RecordBatch.from_pydict(
                 {
                     "id_a": pa.array(ia, type=pa.int64()),
@@ -435,22 +688,27 @@ def _minhash_candidate_pairs(
                 }
             )
 
-    sp = banded.sparkSession.conf.get("spark.sql.shuffle.partitions", "64")
-    # distinct() is LOAD-BEARING: cross-band duplicates of a pair land in
-    # DIFFERENT estimate tasks (the shuffle keys are per-band), so only a
-    # global dedupe shrinks the verify input — measured 2.5x fewer pair
-    # rows into the verify stage for less CPU than the duplicates cost
-    # downstream (a distinct-free variant re-measured 1.6x slower overall:
-    # the verify stage's shuffle read + JVM sort scale with the raw
-    # multiset). The per-task unique in the emit kernel stays: it is
-    # nearly free and trims same-task repeats before the distinct.
-    cand = (
+    sp = df.sparkSession.conf.get("spark.sql.shuffle.partitions", "64")
+    # No distinct(): first-band ownership makes kernel emission
+    # exactly-once globally (each pair lives in exactly one block cell of
+    # exactly one band's bucket after the ownership filter), so the
+    # global pair dedupe that used to be the 2nd-hottest stage (15M raw
+    # emissions -> 2.26M pairs at sf0.1) is free.
+    rep_cand = (
         fanned.repartition(int(sp), "band", "bh", "lo", "hi")
         .sortWithinPartitions("band", "bh", "lo", "hi")
         .mapInArrow(emit, "id_a long, id_b long")
-        .distinct()
     )
-    return cand
+    # verbatim-duplicate groups are candidates by construction (identical
+    # texts => jaccard exactly 1.0, or zero shingles => no pair): ONE
+    # (r, r) self pair per gm > 1 group stands in for all C(gm, 2)
+    # within-group member pairs. The self pair rides the normal verify
+    # (scored 1.0, or dropped when the shared text is shorter than n),
+    # so no special-casing anywhere downstream.
+    self_pairs = membership.where(
+        (F.col("gm") > 1) & (F.col("id") == F.col("rep_id"))
+    ).select(F.col("id").alias("id_a"), F.col("id").alias("id_b"))
+    return rep_cand.unionByName(self_pairs), membership, reps
 
 
 def minhash_lsh_pairs(
@@ -458,20 +716,28 @@ def minhash_lsh_pairs(
     id_col: str,
     text_col: str,
     n: int = 3,
-    num_perm: int = 96,
+    num_perm: int = 384,
     bands: int = 32,
     threshold: float = 0.5,
     seed: int = 42,
     bucket_cap: int | None = 4000,
-    est_margin: float = 0.25,
+    est_margin: float = 0.105,
     block_size: int = 512,
+    band_rows: int = 3,
+    allpairs_max_reps: int = 24000,
 ) -> DataFrame:
-    """Near-dup candidate pairs via MinHash banding + exact Jaccard verify.
+    """Near-dup candidate pairs via MinHash + exact Jaccard verify.
 
-    bands x rows layout (rows = num_perm / bands); a pair is a candidate iff
-    some band's row-slice hashes collide — an equi-join on (band, band_hash),
-    which is the scalable path (no all-pairs). Three skew defenses keep hot
-    bands bounded on corpora where many documents are mutually similar:
+    Candidate generation is COST-BASED between two strategies (see
+    _minhash_candidate_pairs): below ``allpairs_max_reps`` distinct texts,
+    a 2-D blocked all-pairs sketch screen (strictly better recall, no
+    banding machinery — each pair's two-tier estimate computed exactly
+    once in exactly one block cell); above it, bands x band_rows banding
+    over the signature's first bands*band_rows permutations — a pair is a
+    candidate iff some band's row-slice hashes collide, an equi-join on
+    (band, band_hash), which is the asymptotic path (no all-pairs).
+    Three skew defenses keep hot bands bounded on corpora where many
+    documents are mutually similar:
 
       * ``bucket_cap``: a (band, band_hash) bucket larger than the cap is
         deterministically thinned (member kept iff its seeded hash is 0 mod
@@ -486,25 +752,55 @@ def minhash_lsh_pairs(
         embedding_neardup_pairs). Work is unchanged; the wall clock stops
         being max-bucket-bound;
       * signature-estimate pre-filter: candidates whose fraction of equal
-        minhash components falls below ``threshold - est_margin`` are
-        dropped before the exact verification.
+        minhash components (over all ``num_perm``, not just the banded
+        prefix) falls below ``threshold - est_margin`` are dropped before
+        the exact verification;
+      * verbatim-duplicate shortcut: only one representative per
+        identical-text group enters banding AND the exact verify; one
+        (r, r) self pair per multi-member group rides the verify (scored
+        1.0 exactly, or dropped when the text has no shingles), and the
+        VERIFIED rep pairs are expanded back to member pairs by two
+        narrow membership joins with the verified jaccard copied —
+        identical texts have identical jaccard to every counterpart, so
+        the expansion is exact. Expanding after the verify is
+        load-bearing: expanding unverified candidates would multiply the
+        verify input by gm_a*gm_b (the 50k-doc/500-template stress corpus
+        would expand ~125k near-threshold rep candidates to ~1.2e9 member
+        pairs before verification — measured OOM), while post-verify
+        expansion is OUTPUT-bound (every expanded pair is a genuine
+        near-dup this operator must emit).
 
     Surviving candidates are verified with the exact shingle Jaccard, so
     output precision is 1.0; banding/cap/estimate only affect recall.
 
-    Default parameters (96 perms, 32 bands x 3 rows, estimate cut at
-    threshold - 0.25) are sized so recall at the default-and-driver
-    threshold 0.7 is 1.0 up to negligible probability: a true pair at
-    j = 0.7 misses every band with (1 - 0.7^3)^32 ~ 1.4e-6 and fails the
-    estimate cut with P[Binom(96, 0.7) < 0.45*96] ~ 5e-8 — which is what
-    lets the exact-Jaccard SQL serve as this operator's oracle at test
-    scale (uncapped buckets there).
+    Default parameters (384 perms, 32 bands x 3 rows banded over the
+    first 96, estimate cut at threshold - 0.105) are sized so recall at
+    the default-and-driver threshold 0.7 is 1.0 up to negligible
+    probability: a true pair at j = 0.7 misses every band with
+    (1 - 0.7^3)^32 ~ 1.4e-6 and fails the estimate cut with
+    P[Binom(384, 0.7) < 0.595*384] ~ 4e-6 (a 4.5-sigma margin; the
+    1-byte sketch's ~1/256 false-agreement only inflates agreement, so
+    it never costs recall) — which is what lets the exact-Jaccard SQL
+    serve as this operator's oracle at test scale (uncapped buckets
+    there). The margin stays >= 4.1 sigma for ANY threshold since
+    sd <= sqrt(0.25/384) ~ 0.0255. Versus the previous 96-perm estimate
+    (margin 0.25), the 4x-sharper cut admits ~4x fewer near-threshold
+    false candidates into distinct + expansion + exact verify — the
+    dominant cost on corpora whose pair-similarity mass sits just below
+    the threshold (sf0.1 documents: 6.4M pairs in [0.45, 0.7) vs 905 at
+    >= 0.7).
     Output: (id_a, id_b, jaccard) ordered.
     """
+    # release the PREVIOUS call's persisted tables (membership + wide
+    # signature table) — see the _LIVE_SIG contract at the top of the
+    # module: plans must be executed before building the next one.
+    with _LIVE_SIG_LOCK:
+        while _LIVE_SIG:
+            _LIVE_SIG.pop().unpersist()
     sp = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "64"))
     if df.rdd.getNumPartitions() < sp // 2:
         df = df.repartition(sp)
-    cand = _minhash_candidate_pairs(
+    cand, membership, reps = _minhash_candidate_pairs(
         df,
         id_col,
         text_col,
@@ -516,6 +812,8 @@ def minhash_lsh_pairs(
         bucket_cap,
         est_margin,
         block_size,
+        band_rows,
+        allpairs_max_reps,
     )
     if n > 3:
         raise ValueError("packed shingle verify supports n <= 3")
@@ -653,9 +951,9 @@ def minhash_lsh_pairs(
     # most once per task. Docs missing from the corpus simply never reach
     # the memo -> jaccard 0, the inner-join semantics this replaces.
     vb = 16
-    texts = df.select(
-        F.col(id_col).cast("long").alias("id"), F.col(text_col).alias("text")
-    )
+    # only REP texts fan to the verify groups: every candidate pair
+    # references rep ids, and a rep's jaccard IS its members' jaccard
+    texts = reps
 
     def _blk(c):
         return F.pmod(F.xxhash64(c, F.lit(seed + 2)), F.lit(vb)).cast("int")
@@ -690,11 +988,33 @@ def minhash_lsh_pairs(
         .sortWithinPartitions("gi", "gj", "kind")
         .mapInArrow(verify, "id_a long, id_b long, jaccard double")
     )
-    # lazy localCheckpoint before the global sort: RangePartitioning's
-    # sampling job would otherwise re-execute the verify lineage a second
-    # time. The checkpointed result is the tiny final pair set,
-    # materialized once, read by both the sample and the sort.
-    return verified.localCheckpoint(eager=False).orderBy("id_a", "id_b")
+    # lazy localCheckpoint before the expansion + global sort:
+    # RangePartitioning's sampling job would otherwise re-execute the
+    # verify lineage a second time. The checkpointed result is the tiny
+    # VERIFIED REP pair set, materialized once; the expansion joins
+    # (broadcast of the checkpointed pairs under AQE, scans of the
+    # persisted narrow membership table) re-run cheaply for the sample.
+    verified = verified.localCheckpoint(eager=False)
+    # expand verified rep pairs to member pairs: two equi-joins on the
+    # persisted (id, rep_id) membership table. No distinct needed —
+    # rep pairs are globally distinct (first-band ownership + the verify
+    # kernel's per-group unique), each member pair expands from exactly
+    # one rep pair, and within-group (ra == rb, from the self pair) vs
+    # cross-group expansions are disjoint. The (ida < idb) guard keeps
+    # each unordered within-group pair once and drops the identity row.
+    memb_a = membership.select(F.col("rep_id").alias("ra"), F.col("id").alias("ida"))
+    memb_b = membership.select(F.col("rep_id").alias("rb"), F.col("id").alias("idb"))
+    return (
+        verified.join(memb_a, F.col("id_a") == F.col("ra"))
+        .join(memb_b, F.col("id_b") == F.col("rb"))
+        .where((F.col("ra") != F.col("rb")) | (F.col("ida") < F.col("idb")))
+        .select(
+            F.least("ida", "idb").alias("id_a"),
+            F.greatest("ida", "idb").alias("id_b"),
+            "jaccard",
+        )
+        .orderBy("id_a", "id_b")
+    )
 
 
 SIMHASH_BITS = 60  # 15 md5 hex chars -> portable to the DuckDB oracle

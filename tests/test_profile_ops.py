@@ -340,6 +340,36 @@ def test_minhash_equals_exact_on_edge_corpus(spark):
     assert len(exact) > 1000  # the template cluster really is pairwise similar
 
 
+def test_minhash_strategies_agree(spark):
+    """The cost-based candidate strategies — 2-D blocked all-pairs sketch
+    screen (small rep counts) and banded LSH (large) — must produce the
+    SAME verified pair set on the same corpus: both are recall-bounded
+    candidate generators in front of the same exact verify. Forcing
+    allpairs_max_reps=0 exercises the banding path on a corpus the
+    default would screen."""
+    from approximate_anomaly_detection_in_data_streams_spark.operators import dedup
+
+    rows = [(i, f"shared template body with tail token {i % 7} {i:04d}") for i in range(300)]
+    rows += [(1000 + i, f"wholly distinct text number {i} about {i * 17}") for i in range(50)]
+    rows += [(2000, "dup dup dup dup dup"), (2001, "dup dup dup dup dup")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    screen = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in dedup.minhash_lsh_pairs(
+            df, "doc_id", "text", 3, threshold=0.6, block_size=64
+        ).collect()
+    }
+    banded = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in dedup.minhash_lsh_pairs(
+            df, "doc_id", "text", 3, threshold=0.6, block_size=64,
+            allpairs_max_reps=0,
+        ).collect()
+    }
+    assert screen == banded
+    assert (2000, 2001, 1.0) in screen
+
+
 def test_plan_build_runs_no_jobs(spark, sf_dir):
     """With dim and n_total carried in DetectorConfig, constructing every
     detector query plan must trigger ZERO Spark jobs (no driver-blocking
