@@ -128,16 +128,30 @@ IVF_SALT = "_ivf"
 
 
 def ivf_centroids(
-    vectors: DataFrame, id_col: str, vec_col: str, nlist: int = 32
+    vectors: DataFrame,
+    id_col: str,
+    vec_col: str,
+    nlist: int = 32,
+    lloyd_iters: int = 0,
 ) -> np.ndarray:
     """Deterministic, SQL-portable IVF coarse quantizer: the ``nlist``
     corpus vectors with the smallest md5-derived priority (the same
     portable-hash trick as the ApproxMCOD eviction priority), unit-
     normalized, ordered by (priority, id) — that order IS the centroid
-    index, so an oracle re-derives the identical codebook. At production
-    scale you would refine these with a few Lloyd iterations on a sample;
-    random centroids are the standard quick-index baseline (FAISS-style)
-    and keep the operator exactly replayable in SQL.
+    index, so an oracle re-derives the identical codebook. Random
+    centroids are the standard quick-index baseline (FAISS-style) and
+    keep the operator exactly replayable in SQL.
+
+    ``lloyd_iters > 0`` refines the seed codebook with distributed Lloyd
+    (spherical k-means) iterations — the production-recall tier. Each
+    iteration is one map pass (nearest-centroid assignment, broadcast
+    codebook) plus ONE narrow aggregation (per-centroid count + per-dim
+    sums as ``dim`` codegen sum columns — no explode, no second shuffle)
+    and a bounded ``nlist``-row collect; empty clusters keep their
+    previous centroid. The refined codebook is NOT SQL-portable (float
+    aggregation order varies with partitioning), so the oracled entry
+    point keeps ``lloyd_iters=0``; recall improvement is gated by
+    tests/test_profile_ops.py::test_ivf_lloyd_refinement_improves_recall.
 
     Returns (nlist, dim) float64, rows unit-normalized with a sequential
     left-to-right norm accumulation (bit-reproducible fold).
@@ -159,7 +173,40 @@ def ivf_centroids(
         .collect()
     )
     C = np.stack([np.asarray(r["vec"], dtype=np.float64) for r in rows])
-    return C / _seq_norm(C)[:, None]
+    C = C / _seq_norm(C)[:, None]
+    for _ in range(lloyd_iters):
+        C = _lloyd_step(vectors, vec_col, C)
+    return C
+
+
+def _lloyd_step(vectors: DataFrame, vec_col: str, C: np.ndarray) -> np.ndarray:
+    """One distributed spherical-k-means step: assign every corpus vector
+    to its nearest centroid (broadcast codebook, Arrow-batched), sum per
+    (centroid, dim) in one aggregation, renormalize the means. The
+    aggregation input is one (cidx, v) row per vector and the output is
+    ``nlist`` rows of ``1 + dim`` columns — map-side combine does the
+    heavy lifting, nothing unbounded reaches the driver."""
+    nlist, dim = C.shape
+    assign = _ivf_probe_udf(C, 1)
+    vd = F.transform(vec_col, lambda x: x.cast("double"))
+    assigned = vectors.select(
+        assign(F.col(vec_col))[0].alias("cidx"), vd.alias("v")
+    )
+    agg = (
+        assigned.groupBy("cidx")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            *[F.sum(F.col("v")[i]).alias(f"s{i}") for i in range(dim)],
+        )
+        .collect()
+    )
+    newC = C.copy()  # clusters with no members keep their centroid
+    for r in agg:
+        m = np.array([r[f"s{i}"] for i in range(dim)], dtype=np.float64) / r["n"]
+        norm = float(np.linalg.norm(m))
+        if norm > 0.0:
+            newC[r["cidx"]] = m / norm
+    return newC
 
 
 def _seq_norm(X: np.ndarray) -> np.ndarray:
@@ -201,6 +248,7 @@ def ivf_ann_topk(
     k: int = 5,
     nlist: int = 32,
     nprobe: int = 8,
+    lloyd_iters: int = 0,
 ) -> DataFrame:
     """IVF-Flat approximate top-k: inverted-file coarse quantization +
     exact cosine re-rank — the second scale path beside SRP-LSH.
@@ -213,12 +261,14 @@ def ivf_ann_topk(
     index (/root/reference/src/core/lsh/LSHIndex.java:33-44) with a
     learned/selected codebook instead of random projections.
 
-    Centroids and assignments are bit-portable (see ivf_centroids /
-    _ivf_probe_udf), so the full operator carries an exact DuckDB oracle
-    (__spark_entry__._ivf_ann_sql). Output: (query_id, neighbor_id,
-    cosine, rank), rank <= k.
+    With ``lloyd_iters=0`` centroids and assignments are bit-portable
+    (see ivf_centroids / _ivf_probe_udf), so the operator carries an
+    exact DuckDB oracle (__spark_entry__._ivf_ann_sql); ``lloyd_iters>0``
+    selects the refined-codebook production tier (better recall at the
+    same nprobe, recall-gated in tests instead of SQL-oracled). Output:
+    (query_id, neighbor_id, cosine, rank), rank <= k.
     """
-    C = ivf_centroids(vectors, id_col, vec_col, nlist)
+    C = ivf_centroids(vectors, id_col, vec_col, nlist, lloyd_iters=lloyd_iters)
     assign1 = _ivf_probe_udf(C, 1)
     assignp = _ivf_probe_udf(C, nprobe)
     corpus = vectors.select(

@@ -289,6 +289,49 @@ def test_ivf_ann_recall_vs_bruteforce(spark, sf_dir):
     assert len(brute & ann) / len(brute) >= 0.6
 
 
+def test_ivf_lloyd_refinement_improves_recall(spark, sf_dir):
+    """The distributed Lloyd-refined codebook (production tier) must not
+    recall less than the md5-seed codebook at the same nprobe, and must
+    clear the same floor. (Refined centroids follow the data distribution,
+    so each probe covers a tighter candidate set — the standard IVF
+    training effect; 2 iterations is enough to move the needle on the
+    synthetic embeddings.)"""
+    from approximate_anomaly_detection_in_data_streams_spark.operators import knn
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 20)
+    brute = {
+        (r.query_id, r.neighbor_id)
+        for r in knn.brute_force_topk(emb, queries, "vec_id", "embedding", 5).collect()
+    }
+
+    def recall(iters):
+        ann = {
+            (r.query_id, r.neighbor_id)
+            for r in knn.ivf_ann_topk(
+                emb, queries, "vec_id", "embedding", dim=64, k=5, lloyd_iters=iters
+            ).collect()
+        }
+        return len(brute & ann) / len(brute)
+
+    base, refined = recall(0), recall(2)
+    assert refined >= 0.6
+    assert refined >= base - 0.02  # refinement never costs material recall
+
+
+def test_ivf_lloyd_partitioning_invariant(spark, sf_dir):
+    """Refined codebooks keep the one-bucket-per-vector invariant and the
+    (nlist, dim) unit-row shape."""
+    import numpy as np
+
+    from approximate_anomaly_detection_in_data_streams_spark.operators import knn
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    C = knn.ivf_centroids(emb, "vec_id", "embedding", nlist=16, lloyd_iters=1)
+    assert C.shape == (16, 64)
+    assert np.allclose(np.linalg.norm(C, axis=1), 1.0)
+
+
 def test_ivf_corpus_partitioning(spark, sf_dir):
     """Every corpus vector lands in exactly one centroid bucket, and the
     buckets cover the corpus (the one-shuffle IVF invariant)."""
