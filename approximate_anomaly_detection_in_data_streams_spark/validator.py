@@ -138,22 +138,25 @@ def validate_images(
     # emits exactly one row per input row (duplicate image_ids included),
     # so these aggregations see the same multiset as a direct scan.
     uniq = profile_ops.uniqueness(checks, ["image_id"], exact=cfg.exact_uniqueness)
-    phash_dups = (
+    dups_raw = (
         checks.groupBy("phash")
         .agg(
             F.count(F.lit(1)).alias("n_dup"),
             F.sort_array(F.collect_set("image_id")).alias("members"),
         )
         .where(F.col("n_dup") > cfg.phash_dup_limit)
-        .orderBy(F.desc("n_dup"), "phash")
     )
     if persist:
         # two consumers (the dup-group report and the violation union) —
         # without a persist the groupBy over the full check table runs
-        # twice; the dup-group result itself is tiny
+        # twice; the dup-group result itself is tiny. The persist sits
+        # BELOW the report's orderBy so the violation union reads the
+        # unsorted aggregation — a global sort is a rangepartitioning
+        # exchange plus a sampling job, pure waste under a union
         from pyspark import StorageLevel
 
-        phash_dups = phash_dups.persist(StorageLevel.MEMORY_AND_DISK)
+        dups_raw = dups_raw.persist(StorageLevel.MEMORY_AND_DISK)
+    phash_dups = dups_raw.orderBy(F.desc("n_dup"), "phash")
     # Column stats aggregate the persisted narrow check rows (w/h/n_bytes
     # fall out of the decode pass's Arrow offsets) rather than re-scanning
     # the full bytes column — at 100 TB the payload scan IS the cost, and
@@ -163,14 +166,14 @@ def validate_images(
         "image_id", "ordinal", "features"
     )
     points = feats.select((F.col("ordinal") + 1).alias("id"), "features")
-    det = detect(points, cfg.drift).outliers  # column: id (= ordinal + 1)
-    anomaly_outliers = (
-        det.join(
-            feats.select((F.col("ordinal") + 1).alias("id"), "image_id"), "id"
-        )
-        .select("image_id", (F.col("id") - 1).alias("ordinal"))
-        .orderBy("ordinal")
-    )
+    det = detect(points, cfg.drift)
+    # unsorted anomaly rows feed the violation union (a union never
+    # preserves order, so sorting there would only add a range exchange
+    # + sampling job); the user-facing report DF sorts the tiny result
+    anom_rows = det.per_point.where(~F.col("ever_inlier")).join(
+        feats.select((F.col("ordinal") + 1).alias("id"), "image_id"), "id"
+    ).select("image_id", (F.col("id") - 1).alias("ordinal"))
+    anomaly_outliers = anom_rows.orderBy("ordinal")
     drift_slides = profile_drift_slides(
         feats, cfg.drift_slide_size, cfg.drift_l1_limit, dim=2 + N_HIST_BINS
     )
@@ -178,12 +181,12 @@ def validate_images(
     row_violations = checks.where("is_violation").select(
         "image_id", F.lit("row_invariant").alias("kind"), F.col("reason").alias("detail")
     )
-    anomaly_violations = anomaly_outliers.select(
+    anomaly_violations = anom_rows.select(
         "image_id",
         F.lit("point_anomaly").alias("kind"),
         F.concat(F.lit("ordinal="), F.col("ordinal").cast("string")).alias("detail"),
     )
-    dup_violations = phash_dups.select(
+    dup_violations = dups_raw.select(
         F.explode("members").alias("image_id"),
         F.lit("phash_dup").alias("kind"),
         F.concat(F.lit("group_size="), F.col("n_dup").cast("string")).alias("detail"),
