@@ -98,9 +98,22 @@ def _o_decode(data: bytes) -> np.ndarray:
     ph = -(-h // 8) * 8
     pw = -(-w // 8) * 8
     q = np.frombuffer(payload, dtype="<i2").astype(np.float64)
-    blocks = q.reshape(ph // 8, 8, pw // 8, 8) * _JPEG_Q
-    img = np.einsum("ji,ajbk,kl->aibl", _O_DCT8, blocks, _O_DCT8)
-    return img.reshape(ph, pw)[:h, :w].round().clip(0, 255).astype(np.uint8)
+    # format-contract association: (D.T @ B) @ D over the (n, 8, 8) block
+    # stack (image_codec.CONTRACT_IDCT) — batch-size-invariant 8x8 dgemms,
+    # so this standalone decode is bit-identical to the engine's scalar
+    # and batched decoders by construction
+    blocks = (
+        (q.reshape(ph // 8, 8, pw // 8, 8) * _JPEG_Q)
+        .transpose(0, 2, 1, 3)
+        .reshape(-1, 8, 8)
+    )
+    img = (
+        (_O_DCT8.T @ blocks @ _O_DCT8)
+        .reshape(ph // 8, pw // 8, 8, 8)
+        .transpose(0, 2, 1, 3)
+        .reshape(ph, pw)
+    )
+    return img[:h, :w].round().clip(0, 255).astype(np.uint8)
 
 
 def _o_psnr(a: np.ndarray, b: np.ndarray) -> float:

@@ -84,8 +84,15 @@ def _image_validation_throughput(spark) -> float:
     )
 
     cfg = ImageTableConfig(n=IMG_N, seed=7, partitions=4 * CPUS, size_scale=2)
-    img_path = os.path.join(BENCH_DIR, f"images_{IMG_N}_s2.parquet")
-    ref_path = os.path.join(BENCH_DIR, f"reference_{IMG_N}_s2.parquet")
+    from approximate_anomaly_detection_in_data_streams_spark.functions import (
+        image_codec as _codec,
+    )
+
+    # cache keyed by codec version: stored phash derives from decode bits,
+    # so an IDCT contract change must regenerate the table
+    _v = _codec.CODEC_VERSION
+    img_path = os.path.join(BENCH_DIR, f"images_{IMG_N}_s2_v{_v}.parquet")
+    ref_path = os.path.join(BENCH_DIR, f"reference_{IMG_N}_s2_v{_v}.parquet")
     if not (os.path.exists(img_path) and os.path.exists(ref_path)):
         generate_images(spark, cfg).write.mode("overwrite").parquet(img_path)
         generate_reference(spark, cfg).write.mode("overwrite").parquet(ref_path)
