@@ -262,8 +262,14 @@ def _banded_fanout(
     # MAP-SIDE so the num_perm*8-byte sig array itself never crosses a
     # shuffle (at 384 perms it is 3 KB/row):
     #   sk  — 1-byte/perm agreement sketch for the estimate kernel;
-    #   bhs — per-band 31-bit bucket-hash vector for the kernel's
-    #         first-band-ownership filter;
+    #   bhs — the per-band FULL 64-bit bucket-hash vector, used both for
+    #         the (band, bh) bucket explode and the kernel's first-band-
+    #         ownership filter. Ownership MUST compare the same hash the
+    #         bucket join keys on: a truncated view would let a
+    #         partial-bit collision at an earlier band claim ownership of
+    #         a pair that never meets there, silently dropping it
+    #         (~(bands-1)/2^31 per pair with a 31-bit view — real pair
+    #         loss at trillion-row scale);
     #   sz  — distinct-shingle count for the exact prefix-filter size
     #         prune (rep counts ARE member counts: grouping is by
     #         verbatim text, so the prune is exact at both levels).
@@ -274,11 +280,7 @@ def _banded_fanout(
     wide = sig.select(
         "id",
         sk_expr.alias("sk"),
-        F.transform(
-            band_hashes,
-            lambda h: h.bitwiseAND(F.lit((1 << 31) - 1)).cast("int"),
-        ).alias("bhs"),
-        band_hashes.alias("bh64"),
+        band_hashes.alias("bhs"),
         F.col("n_sh").alias("sz"),
     ).persist()
     with _LIVE_SIG_LOCK:
@@ -289,7 +291,7 @@ def _banded_fanout(
         "sk",
         "bhs",
         "sz",
-        F.posexplode("bh64").alias("band", "bh"),
+        F.posexplode("bhs").alias("band", "bh"),
     )
     cap = bucket_cap or (1 << 30)
     sizes = banded.groupBy("band", "bh").agg(F.count(F.lit(1)).alias("m"))
@@ -425,7 +427,19 @@ def _minhash_candidate_pairs(
     reps = docs.join(
         ginfo.select(F.col("rep_id").alias("id")), "id", "leftsemi"
     )
-    sig = minhash_signatures(reps, "id", "text", n, num_perm, seed)
+    # the signature kernel requires non-null text (it packs codepoints);
+    # a null-text rep is legal input (its group hashed null as "" above),
+    # so coalesce HERE only — the verify stage reads the original texts
+    # and scores a null doc as zero shingles -> never a pair, exactly the
+    # SQL oracle's semantics
+    sig = minhash_signatures(
+        reps.select("id", F.coalesce(F.col("text"), F.lit("")).alias("text")),
+        "id",
+        "text",
+        n,
+        num_perm,
+        seed,
+    )
     # The estimate kernel never needs the full 64-bit minima — only which
     # components AGREE. A 1-byte/perm sketch (low byte of each minimum,
     # shifted into tinyint range; equal minima => equal bytes, so sketch
@@ -487,7 +501,7 @@ def _minhash_candidate_pairs(
                 F.col("g").alias("bi"),
                 F.least("g", "o").alias("lo"),
                 F.greatest("g", "o").alias("hi"),
-                F.array(cell.cast("int")).alias("bhs"),
+                F.array(cell).alias("bhs"),
                 F.lit(0).cast("long").alias("dmask"),
             )
         )
@@ -500,8 +514,8 @@ def _minhash_candidate_pairs(
     # signature-estimate kernel -> exactly-once candidate pairs -> exact
     # verify with candidate-only text joins. Load-bearing choices:
     #
-    #  * the estimate kernel runs per PARTITION (mapInArrow over
-    #    repartition+sortWithinPartitions), not per group — thousands of
+    #  * the estimate kernel runs per PARTITION (mapInArrow over a keyed
+    #    repartition; it lexsorts in-kernel), not per group — thousands of
     #    tiny buckets would pay per-group Arrow overhead otherwise — and
     #    giant buckets are block-split so no single task owns a quadratic
     #    straggler (measured: one 2524-member template bucket costs ~1.3 s
@@ -537,10 +551,13 @@ def _minhash_candidate_pairs(
         band, bh, lo, hi = band[order], bh[order], lo[order], hi[order]
         ids_all = tbl.column("id").to_numpy(zero_copy_only=False)[order]
         bi_all = tbl.column("bi").to_numpy(zero_copy_only=False)[order]
-        # retained-band bucket vectors as an (n, bands) int32 matrix;
-        # bands the id was capped OUT of (dmask bit set) get a
-        # per-row-unique negative sentinel so they can never compare
-        # equal across two rows (real hashes live in [0, 2^31)).
+        # retained-band bucket vectors as an (n, bands) int64 matrix —
+        # the FULL hashes the bucket join keys on (see _banded_fanout:
+        # ownership must use the same values or partial-bit collisions
+        # at earlier bands silently drop pairs). Bands the id was capped
+        # OUT of (dmask bit set) are tracked as a boolean mask and
+        # And-ed out of the ownership equality below; a value sentinel
+        # cannot work here because xxhash64 covers the whole int64 range.
         sz_all = tbl.column("sz").to_numpy(zero_copy_only=False)[order]
         bh_col = tbl.column("bhs").combine_chunks()
         n_rows = len(band)
@@ -548,21 +565,15 @@ def _minhash_candidate_pairs(
         bhs_all = (
             bh_col.flatten()
             .to_numpy(zero_copy_only=False)
-            .astype(np.int32, copy=True)
+            .astype(np.int64, copy=False)
             .reshape(n_rows, n_bands)[order]
         )
         dmask = tbl.column("dmask").to_numpy(zero_copy_only=False)[order]
+        absent_all = None
         if dmask.any():
-            absent = (
+            absent_all = (
                 dmask[:, None] >> np.arange(n_bands, dtype=np.int64)[None, :]
             ) & 1 > 0
-            sent = -(
-                2
-                + np.arange(n_rows * n_bands, dtype=np.int32).reshape(
-                    n_rows, n_bands
-                )
-            )
-            bhs_all = np.where(absent, sent, bhs_all)
         # sketches as ONE flat uint8 buffer reshaped (n, num_perm) — the
         # pandas path materialized a quarter-million per-row object arrays
         # and then copied them row-by-row into the kernel buffer (measured:
@@ -670,10 +681,18 @@ def _minhash_candidate_pairs(
                 # retained), so argmax finds a True column. Combined with
                 # the exact prefix-filter size bound (jaccard <=
                 # min(|A|,|B|)/max(|A|,|B|)) — exact at the member level
-                # too, since members share the rep's verbatim text.
-                first = np.argmax(ha == hb, axis=1)
+                # too, since members share the rep's verbatim text. The
+                # 5e-7 slack keeps pairs whose true jaccard sits just
+                # under the threshold but rounds UP to it at 6 digits
+                # (ROUND half-away) — the oracle emits those.
+                eqm = ha == hb
+                if absent_all is not None:
+                    Aab = absent_all[b0:b1]
+                    eqm &= ~(Aab[pa_] | Aab[pb_])
+                first = np.argmax(eqm, axis=1)
                 keep = (first == band[b0]) & (
-                    np.minimum(sa, sb) >= threshold * np.maximum(sa, sb)
+                    np.minimum(sa, sb)
+                    >= (threshold - 5e-7) * np.maximum(sa, sb)
                 )
                 ia, ib = ia[keep], ib[keep]
             out_a.append(ia)
@@ -694,10 +713,12 @@ def _minhash_candidate_pairs(
     # exactly one band's bucket after the ownership filter), so the
     # global pair dedupe that used to be the 2nd-hottest stage (15M raw
     # emissions -> 2.26M pairs at sf0.1) is free.
-    rep_cand = (
-        fanned.repartition(int(sp), "band", "bh", "lo", "hi")
-        .sortWithinPartitions("band", "bh", "lo", "hi")
-        .mapInArrow(emit, "id_a long, id_b long")
+    # no sortWithinPartitions: the kernel lexsorts its partition on the
+    # same (band, bh, lo, hi) keys anyway (same reasoning that removed
+    # the pre-kernel JVM sort in lsh.py — a JVM sort before it is pure
+    # duplicated work on the fanned table, the kernel's largest input)
+    rep_cand = fanned.repartition(int(sp), "band", "bh", "lo", "hi").mapInArrow(
+        emit, "id_a long, id_b long"
     )
     # verbatim-duplicate groups are candidates by construction (identical
     # texts => jaccard exactly 1.0, or zero shingles => no pair): ONE
@@ -851,92 +872,151 @@ def minhash_lsh_pairs(
         #      searchsorted of the concatenated B-side shingle arrays
         #      against A's sorted array plus a reduceat for the per-pair
         #      counts.
-        # Per-task memo keyed by doc id: hot documents pack once per task.
+        # STREAMED group-by-group: rows arrive sorted (gi, gj, kind), so
+        # the kernel buffers only the CURRENT (gi, gj) group — never the
+        # whole partition. A partition holds several verify cells, each
+        # carrying ~2/vb of the candidate-touched corpus text; buffering
+        # them all (the previous whole-partition Table.from_batches)
+        # multiplied the worker's peak text residency by the per-
+        # partition cell count. The shingle memo is released per group
+        # for the same reason — a doc re-appearing in a later cell of
+        # the same partition repacks, bounded by its vb total fan-outs
+        # (each doc row is shipped once per cell anyway).
         import pyarrow as pa
+        import pyarrow.compute as pc
 
         memo: dict[int, np.ndarray] = {}
 
-        chunks = [b for b in batches if b.num_rows]
-        if not chunks:
-            return
-        tbl = pa.Table.from_batches(chunks)
-        gi = tbl.column("gi").to_numpy(zero_copy_only=False)
-        gj = tbl.column("gj").to_numpy(zero_copy_only=False)
-        kind = tbl.column("kind").to_numpy(zero_copy_only=False)
-        import pyarrow.compute as pc
-
-        ida_all = pc.fill_null(tbl.column("id_a"), -1).to_numpy(
-            zero_copy_only=False
-        )
-        idb_all = pc.fill_null(tbl.column("id_b"), -1).to_numpy(
-            zero_copy_only=False
-        )
-        text_col = tbl.column("text").combine_chunks()
-        # rows arrive sorted (gi, gj, kind): each group's doc rows precede
-        # its pair rows
-        changed_g = (gi[1:] != gi[:-1]) | (gj[1:] != gj[:-1])
-        gb = np.flatnonzero(np.concatenate(([True], changed_g)))
-        gb = np.append(gb, len(gi))
-        out_a, out_b, out_j = [], [], []
-        for p0, p1 in zip(gb[:-1], gb[1:]):
-            k = kind[p0:p1]
-            split = p0 + int(np.searchsorted(k, 1))
-            for di in range(p0, split):  # doc rows: pack once per task
-                did = int(ida_all[di])
-                if did not in memo:
-                    memo[did] = _pack(text_col[di].as_py())
-            if split == p1:
-                continue
-            # global pair dedupe: cross-band/cross-task duplicates of one
-            # pair all land in THIS group (gi, gj is a pure function of
-            # the ids), so a per-group unique replaces the former
-            # distinct() shuffle upstream
-            ida, idb = _unique_pairs(ida_all[split:p1], idb_all[split:p1])
-            m = len(ida)
-            ida_s, idb_s = ida, idb  # _unique_pairs returns (id_a, id_b)-sorted
-            jac = np.zeros(m, dtype=np.float64)
-            changed = ida_s[1:] != ida_s[:-1]
-            bounds = np.flatnonzero(np.concatenate(([True], changed)))
-            bounds = np.append(bounds, m)
-            for g0, g1 in zip(bounds[:-1], bounds[1:]):
-                A = memo.get(int(ida_s[g0]), _EMPTY)
-                la = len(A)
-                if la == 0:
-                    continue
-                Bs = [memo.get(int(idb_s[k2]), _EMPTY) for k2 in range(g0, g1)]
-                lens = np.fromiter(
-                    (len(b) for b in Bs), count=g1 - g0, dtype=np.int64
-                )
-                # same size bound as the kernel prune: intersection work
-                # only for pairs that can still reach the threshold (this
-                # also drops zero-shingle B docs, keeping reduceat
-                # segments non-empty)
-                ok = np.minimum(lens, la) >= threshold * np.maximum(lens, la)
-                if not ok.any():
-                    continue
-                oki = np.flatnonzero(ok)
-                cat = np.concatenate([Bs[k2] for k2 in oki])
-                idx = np.searchsorted(A, cat)
-                np.minimum(idx, la - 1, out=idx)
-                hit = (A[idx] == cat).astype(np.int64)
-                lens_ok = lens[oki]
-                offs = np.zeros(len(oki), dtype=np.int64)
-                np.cumsum(lens_ok[:-1], out=offs[1:])
-                inter = np.add.reduceat(hit, offs)
-                jac[g0 + oki] = inter / (la + lens_ok - inter)
-            jac = _round_half_away(jac)
-            keep = jac >= threshold
-            out_a.append(ida[keep])
-            out_b.append(idb[keep])
-            out_j.append(jac[keep])
-        if out_a:
-            yield pa.RecordBatch.from_pydict(
+        def score(tbl):
+            """Score every (complete) group in ``tbl``; RecordBatch or
+            None."""
+            gi = tbl.column("gi").to_numpy(zero_copy_only=False)
+            gj = tbl.column("gj").to_numpy(zero_copy_only=False)
+            kind = tbl.column("kind").to_numpy(zero_copy_only=False)
+            ida_all = pc.fill_null(tbl.column("id_a"), -1).to_numpy(
+                zero_copy_only=False
+            )
+            idb_all = pc.fill_null(tbl.column("id_b"), -1).to_numpy(
+                zero_copy_only=False
+            )
+            text_col = tbl.column("text").combine_chunks()
+            # each group's doc rows precede its pair rows (kind sort key)
+            changed_g = (gi[1:] != gi[:-1]) | (gj[1:] != gj[:-1])
+            gb = np.flatnonzero(np.concatenate(([True], changed_g)))
+            gb = np.append(gb, len(gi))
+            out_a, out_b, out_j = [], [], []
+            for p0, p1 in zip(gb[:-1], gb[1:]):
+                k = kind[p0:p1]
+                split = p0 + int(np.searchsorted(k, 1))
+                for di in range(p0, split):  # doc rows: pack per group
+                    did = int(ida_all[di])
+                    if did not in memo:
+                        memo[did] = _pack(text_col[di].as_py())
+                if split != p1:
+                    # global pair dedupe: cross-band/cross-task duplicates
+                    # of one pair all land in THIS group (gi, gj is a pure
+                    # function of the ids), so a per-group unique replaces
+                    # the former distinct() shuffle upstream
+                    ida, idb = _unique_pairs(
+                        ida_all[split:p1], idb_all[split:p1]
+                    )
+                    m = len(ida)
+                    # _unique_pairs returns (id_a, id_b)-sorted
+                    ida_s, idb_s = ida, idb
+                    jac = np.zeros(m, dtype=np.float64)
+                    changed = ida_s[1:] != ida_s[:-1]
+                    bounds = np.flatnonzero(np.concatenate(([True], changed)))
+                    bounds = np.append(bounds, m)
+                    for g0, g1 in zip(bounds[:-1], bounds[1:]):
+                        A = memo.get(int(ida_s[g0]), _EMPTY)
+                        la = len(A)
+                        if la == 0:
+                            continue
+                        Bs = [
+                            memo.get(int(idb_s[k2]), _EMPTY)
+                            for k2 in range(g0, g1)
+                        ]
+                        lens = np.fromiter(
+                            (len(b) for b in Bs), count=g1 - g0, dtype=np.int64
+                        )
+                        # same size bound as the kernel prune: intersection
+                        # work only for pairs that can still reach the
+                        # threshold (this also drops zero-shingle B docs,
+                        # keeping reduceat segments non-empty). Same 5e-7
+                        # slack as the kernel: a true jaccard in
+                        # [threshold-5e-7, threshold) rounds up to the
+                        # threshold at 6 digits and must be scored.
+                        ok = np.minimum(lens, la) >= (
+                            threshold - 5e-7
+                        ) * np.maximum(lens, la)
+                        if not ok.any():
+                            continue
+                        oki = np.flatnonzero(ok)
+                        cat = np.concatenate([Bs[k2] for k2 in oki])
+                        idx = np.searchsorted(A, cat)
+                        np.minimum(idx, la - 1, out=idx)
+                        hit = (A[idx] == cat).astype(np.int64)
+                        lens_ok = lens[oki]
+                        offs = np.zeros(len(oki), dtype=np.int64)
+                        np.cumsum(lens_ok[:-1], out=offs[1:])
+                        inter = np.add.reduceat(hit, offs)
+                        jac[g0 + oki] = inter / (la + lens_ok - inter)
+                    jac = _round_half_away(jac)
+                    keep = jac >= threshold
+                    out_a.append(ida[keep])
+                    out_b.append(idb[keep])
+                    out_j.append(jac[keep])
+                for di in range(p0, split):  # release the group's packs
+                    memo.pop(int(ida_all[di]), None)
+            if not out_a:
+                return None
+            return pa.RecordBatch.from_pydict(
                 {
                     "id_a": pa.array(np.concatenate(out_a), type=pa.int64()),
                     "id_b": pa.array(np.concatenate(out_b), type=pa.int64()),
-                    "jaccard": pa.array(np.concatenate(out_j), type=pa.float64()),
+                    "jaccard": pa.array(
+                        np.concatenate(out_j), type=pa.float64()
+                    ),
                 }
             )
+
+        # pending buffers ONLY the trailing (possibly incomplete) group
+        pending: list = []
+        for b in batches:
+            if not b.num_rows:
+                continue
+            if pending:
+                lb = pending[-1]
+                tail = (
+                    lb.column("gi")[-1].as_py(),
+                    lb.column("gj")[-1].as_py(),
+                )
+                head_key = (
+                    b.column("gi")[0].as_py(),
+                    b.column("gj")[0].as_py(),
+                )
+                if head_key != tail:
+                    out = score(pa.Table.from_batches(pending))
+                    pending = []
+                    if out is not None:
+                        yield out
+            gi_n = b.column("gi").to_numpy(zero_copy_only=False)
+            gj_n = b.column("gj").to_numpy(zero_copy_only=False)
+            in_last = (gi_n == gi_n[-1]) & (gj_n == gj_n[-1])
+            start_last = int(np.argmax(in_last))  # first row of final group
+            if start_last > 0:
+                out = score(
+                    pa.Table.from_batches([*pending, b.slice(0, start_last)])
+                )
+                pending = [b.slice(start_last)]
+                if out is not None:
+                    yield out
+            else:
+                pending.append(b)
+        if pending:
+            out = score(pa.Table.from_batches(pending))
+            if out is not None:
+                yield out
 
     # Distributed exact verify WITHOUT per-pair text payload: the previous
     # formulation joined both texts onto every candidate row, and shipping
@@ -951,9 +1031,34 @@ def minhash_lsh_pairs(
     # most once per task. Docs missing from the corpus simply never reach
     # the memo -> jaccard 0, the inner-join semantics this replaces.
     vb = 16
-    # only REP texts fan to the verify groups: every candidate pair
-    # references rep ids, and a rep's jaccard IS its members' jaccard
-    texts = reps
+    # Rep texts fan to the verify groups: every candidate pair references
+    # rep ids, and a rep's jaccard IS its members' jaccard. WHICH reps
+    # fan is cost-based, on the same boundary as the candidate strategy
+    # switch (n_reps is a cheap count on the persisted membership table):
+    #  * large corpora (banded regime): only CANDIDATE-TOUCHED reps — at
+    #    production scale candidates touch a small fraction of the
+    #    corpus, and fanning every rep would ship vb copies of text the
+    #    kernel never reads (the dominant shuffle at 100 TB). Costs one
+    #    stage-wave of serialization (the text fan now depends on the
+    #    persisted candidate set) — negligible against vb x corpus I/O.
+    #  * small corpora (screen regime): all reps — candidates touch most
+    #    of a small corpus, so the semi-join would only serialize the
+    #    doc fan behind candidate generation for no byte savings
+    #    (measured ~1.5x on the sf0.1 template corpus).
+    n_reps = membership.where(F.col("id") == F.col("rep_id")).count()
+    if n_reps > allpairs_max_reps:
+        # persisted: cand feeds both the pair rows and the touched-id
+        # semi-join — without it the candidate chain would execute twice.
+        cand = cand.persist()
+        with _LIVE_SIG_LOCK:
+            _LIVE_SIG.append(cand)
+        # no distinct(): a left-semi join dedupes its build side
+        touched = cand.select(F.col("id_a").alias("id")).unionByName(
+            cand.select(F.col("id_b").alias("id"))
+        )
+        texts = reps.join(touched, "id", "leftsemi")
+    else:
+        texts = reps
 
     def _blk(c):
         return F.pmod(F.xxhash64(c, F.lit(seed + 2)), F.lit(vb)).cast("int")

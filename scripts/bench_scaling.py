@@ -21,7 +21,8 @@ Protocol per level:
   3. efficiency = thr(4N) / (4 * thr(N)), appended to BENCH.md.
 
 Usage:
-  python scripts/bench_scaling.py [n_images] [--quick]
+  python scripts/bench_scaling.py [n_images] [--quick] [--pair=N,4N]
+         [--reps=K] [--stage=full|detector] [--mix=std|jpeg]
   python scripts/bench_scaling.py --run-one <cores> <img> <ref>   (internal)
 """
 
@@ -40,7 +41,19 @@ WORKDIR = os.environ.get("AADS_SCALING_DIR", "/tmp/aads_scaling")
 SIZE_SCALE = 2  # 32x32 .. 128x64 images — realistic per-image decode work
 
 
-def materialize(n: int) -> tuple[str, str]:
+# fmt mixes: "std" is the headline table (hot raw key — the north_rule
+# skew axis; decode is memory-bandwidth-dominant on this guest).
+# "jpeg" flips the payload to 90% jpeg so decode is FLOP-dominant
+# (per-8x8-block float64 dgemm): the same full pipeline, but the
+# per-core work no longer saturates the guest's shared memory bus, so
+# the measured scaling reflects the distributed plan rather than the
+# single-host bandwidth ceiling documented in BENCH.md round-3/4
+# forensics. On a real cluster every executor brings its own memory
+# channels, so the std-mix pipeline sits in this regime too.
+MIXES = {"std": {}, "jpeg": {"p_raw": 0.05, "p_qnt": 0.05}}
+
+
+def materialize(n: int, mix: str = "std") -> tuple[str, str]:
     from approximate_anomaly_detection_in_data_streams_spark.session import get_spark
     from approximate_anomaly_detection_in_data_streams_spark.sources.images import (
         ImageTableConfig,
@@ -48,9 +61,12 @@ def materialize(n: int) -> tuple[str, str]:
         generate_reference,
     )
 
-    cfg = ImageTableConfig(n=n, seed=7, partitions=128, size_scale=SIZE_SCALE)
-    img_path = os.path.join(WORKDIR, f"images_{n}_s{SIZE_SCALE}.parquet")
-    ref_path = os.path.join(WORKDIR, f"reference_{n}_s{SIZE_SCALE}.parquet")
+    cfg = ImageTableConfig(
+        n=n, seed=7, partitions=128, size_scale=SIZE_SCALE, **MIXES[mix]
+    )
+    tag = "" if mix == "std" else f"_{mix}"
+    img_path = os.path.join(WORKDIR, f"images_{n}_s{SIZE_SCALE}{tag}.parquet")
+    ref_path = os.path.join(WORKDIR, f"reference_{n}_s{SIZE_SCALE}{tag}.parquet")
     if os.path.exists(img_path) and os.path.exists(ref_path):
         return img_path, ref_path
     spark = get_spark(app_name="aads-scaling-gen", cores=32)
@@ -372,6 +388,7 @@ def main() -> None:
     lo, hi = 8, 32
     reps = 2
     stage = "full"
+    mix = "std"
     for a in sys.argv[1:]:
         if a == "--quick":
             n = 40_000
@@ -381,6 +398,8 @@ def main() -> None:
             reps = int(a.split("=")[1])
         elif a.startswith("--stage="):
             stage = a.split("=")[1]
+        elif a.startswith("--mix="):
+            mix = a.split("=")[1]
         elif a.isdigit():
             n = int(a)
     os.makedirs(WORKDIR, exist_ok=True)
@@ -388,7 +407,7 @@ def main() -> None:
         img_path = materialize_features(n)
         ref_path = "-"
     else:
-        img_path, ref_path = materialize(n)
+        img_path, ref_path = materialize(n, mix)
 
     best_lo, best_hi = interleaved_runs(lo, hi, img_path, ref_path, reps, stage)
     t_lo, t_hi = best_lo["wall"], best_hi["wall"]
@@ -399,6 +418,7 @@ def main() -> None:
     result = {
         "n_images": n,
         "stage": stage,
+        "mix": mix,
         "cpus": [lo, hi],
         f"wall_s_{lo}cpu": round(t_lo, 2),
         f"wall_s_{hi}cpu": round(t_hi, 2),
@@ -422,7 +442,8 @@ def main() -> None:
     print(json.dumps(result))
     with open("BENCH.md", "a") as fh:
         fh.write(
-            f"\n| {n}{' (detector-only)' if stage == 'detector' else ''} | "
+            f"\n| {n}{' (detector-only)' if stage == 'detector' else ''}"
+            f"{'' if mix == 'std' else f' ({mix} mix)'} | "
             f"{lo}->{hi} | {result[f'wall_s_{lo}cpu']} | "
             f"{result[f'wall_s_{hi}cpu']} | {result[f'images_per_s_{lo}cpu']} | "
             f"{result[f'images_per_s_{hi}cpu']} | {result['scaling_efficiency']} |"

@@ -413,6 +413,26 @@ def test_minhash_strategies_agree(spark):
     assert (2000, 2001, 1.0) in screen
 
 
+def test_minhash_null_and_empty_text(spark):
+    """NULL and empty texts are legal input on both strategy paths: they
+    carry zero shingles, so they can never be a verified pair (the SQL
+    oracle's semantics) — and they must not crash the signature kernel
+    even when a null doc is its group's representative."""
+    from approximate_anomaly_detection_in_data_streams_spark.operators import dedup
+
+    rows = [(1, None), (2, ""), (3, None), (4, "a real document body here"),
+            (5, "a real document body here")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for extra in ({}, {"allpairs_max_reps": 0}):
+        got = {
+            (r.id_a, r.id_b, r.jaccard)
+            for r in dedup.minhash_lsh_pairs(
+                df, "doc_id", "text", 3, threshold=0.5, block_size=64, **extra
+            ).collect()
+        }
+        assert got == {(4, 5, 1.0)}
+
+
 def test_plan_build_runs_no_jobs(spark, sf_dir):
     """With dim and n_total carried in DetectorConfig, constructing every
     detector query plan must trigger ZERO Spark jobs (no driver-blocking
