@@ -229,7 +229,7 @@ def _banded_fanout(
     bucket_cap: int | None,
     block_size: int,
     seed: int,
-) -> DataFrame:
+) -> tuple[DataFrame, DataFrame]:
     """Banded-LSH fan-out (the large-corpus strategy of
     _minhash_candidate_pairs): signature table -> per-band bucket keys ->
     bucket sizes -> thin oversized buckets (bucket_cap) -> 2-D block split
@@ -326,10 +326,20 @@ def _banded_fanout(
             F.greatest(F.col("bi"), x).alias("hi"),
         ),
     )
-    return keyed.select(
+    fanned = keyed.select(
         "id", "sk", "bhs", "sz", "dmask", "band", "bh", "bi",
         F.explode(block_pairs).alias("t"),
     ).select("id", "sk", "bhs", "sz", "dmask", "band", "bh", "bi", "t.lo", "t.hi")
+    # touchable: ids retained in at least one m >= 2 bucket — the ONLY
+    # ids a candidate pair can ever reference, known from the bucket-size
+    # aggregation BEFORE the estimate kernel runs. The verify text fan
+    # semi-joins on this (not on the emitted candidates: that would
+    # serialize the text fan behind the whole kernel — measured 2x the
+    # sf1 wall), so singleton-bucket reps — the vast majority of a
+    # production corpus — never ship their text at all. No distinct():
+    # the left-semi join dedupes its build side.
+    touchable = keyed.where(F.col("m") >= 2).select("id")
+    return fanned, touchable
 
 
 def _minhash_candidate_pairs(
@@ -352,7 +362,7 @@ def _minhash_candidate_pairs(
     and profiles can time candidate generation and exact verification
     independently; all semantics documented on minhash_lsh_pairs.
 
-    Returns ``(rep_pairs, membership, reps)``:
+    Returns ``(rep_pairs, membership, reps, touchable)``:
       * ``rep_pairs`` — distinct (id_a, id_b) candidate pairs between group
         representatives, PLUS one (r, r) self pair per verbatim-duplicate
         group with >1 member (identical texts are candidates by
@@ -362,7 +372,12 @@ def _minhash_candidate_pairs(
       * ``membership`` — persisted narrow (id, rep_id, gm) table mapping
         every document to its verbatim-duplicate group;
       * ``reps`` — (id, text) of one representative per group, the only
-        texts the verify stage needs.
+        texts the verify stage needs;
+      * ``touchable`` — banded path only (None on the screen path): the
+        rep ids that can possibly appear in a candidate pair (retained
+        in an m >= 2 bucket, or a verbatim-dup self-pair rep), derived
+        from the bucket-size aggregation so the verify text fan can
+        prune without waiting on the estimate kernel.
 
     Banding reads only the first ``bands * band_rows`` permutations; the
     agreement estimate reads ALL ``num_perm``. Decoupling them is the
@@ -505,8 +520,12 @@ def _minhash_candidate_pairs(
                 F.lit(0).cast("long").alias("dmask"),
             )
         )
+        # screen regime: every rep shares a cell with every other, so
+        # every rep is potentially touched — fan all texts (a semi-join
+        # would save nothing on a small corpus)
+        touchable = None
     else:
-        fanned = _banded_fanout(
+        fanned, touchable = _banded_fanout(
             sig, sk_expr, bands, rows, bucket_cap, block_size, seed
         )
 
@@ -729,7 +748,14 @@ def _minhash_candidate_pairs(
     self_pairs = membership.where(
         (F.col("gm") > 1) & (F.col("id") == F.col("rep_id"))
     ).select(F.col("id").alias("id_a"), F.col("id").alias("id_b"))
-    return rep_cand.unionByName(self_pairs), membership, reps
+    if touchable is not None:
+        # self-pair reps may sit in singleton buckets in every band (a
+        # verbatim-dup group whose text is unique among reps) — their
+        # texts must still reach the verify fan to score the 1.0
+        touchable = touchable.unionByName(
+            self_pairs.select(F.col("id_a").alias("id"))
+        )
+    return rep_cand.unionByName(self_pairs), membership, reps, touchable
 
 
 def minhash_lsh_pairs(
@@ -821,7 +847,7 @@ def minhash_lsh_pairs(
     sp = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "64"))
     if df.rdd.getNumPartitions() < sp // 2:
         df = df.repartition(sp)
-    cand, membership, reps = _minhash_candidate_pairs(
+    cand, membership, reps, touchable = _minhash_candidate_pairs(
         df,
         id_col,
         text_col,
@@ -1032,33 +1058,20 @@ def minhash_lsh_pairs(
     # the memo -> jaccard 0, the inner-join semantics this replaces.
     vb = 16
     # Rep texts fan to the verify groups: every candidate pair references
-    # rep ids, and a rep's jaccard IS its members' jaccard. WHICH reps
-    # fan is cost-based, on the same boundary as the candidate strategy
-    # switch (n_reps is a cheap count on the persisted membership table):
-    #  * large corpora (banded regime): only CANDIDATE-TOUCHED reps — at
-    #    production scale candidates touch a small fraction of the
-    #    corpus, and fanning every rep would ship vb copies of text the
-    #    kernel never reads (the dominant shuffle at 100 TB). Costs one
-    #    stage-wave of serialization (the text fan now depends on the
-    #    persisted candidate set) — negligible against vb x corpus I/O.
-    #  * small corpora (screen regime): all reps — candidates touch most
-    #    of a small corpus, so the semi-join would only serialize the
-    #    doc fan behind candidate generation for no byte savings
-    #    (measured ~1.5x on the sf0.1 template corpus).
-    n_reps = membership.where(F.col("id") == F.col("rep_id")).count()
-    if n_reps > allpairs_max_reps:
-        # persisted: cand feeds both the pair rows and the touched-id
-        # semi-join — without it the candidate chain would execute twice.
-        cand = cand.persist()
-        with _LIVE_SIG_LOCK:
-            _LIVE_SIG.append(cand)
-        # no distinct(): a left-semi join dedupes its build side
-        touched = cand.select(F.col("id_a").alias("id")).unionByName(
-            cand.select(F.col("id_b").alias("id"))
-        )
-        texts = reps.join(touched, "id", "leftsemi")
-    else:
-        texts = reps
+    # rep ids, and a rep's jaccard IS its members' jaccard. On the banded
+    # (large-corpus) path only TOUCHABLE reps fan — ids retained in some
+    # m >= 2 bucket, plus verbatim-dup self-pair reps (see
+    # _minhash_candidate_pairs). At production scale singleton-bucket
+    # reps are the vast majority, so this cuts the vb x corpus text
+    # shuffle — the verify stage's dominant byte cost at 100 TB — to the
+    # collision-touched fraction, and because touchable derives from the
+    # bucket-size aggregation (an early, cheap stage), the text fan does
+    # NOT serialize behind the estimate kernel (semi-joining on emitted
+    # candidates instead measured 2x the sf1 wall). Screen path:
+    # touchable is None and all reps fan (every rep shares a cell).
+    texts = (
+        reps if touchable is None else reps.join(touchable, "id", "leftsemi")
+    )
 
     def _blk(c):
         return F.pmod(F.xxhash64(c, F.lit(seed + 2)), F.lit(vb)).cast("int")
