@@ -98,9 +98,17 @@ def _digest_same_shape(
     # BIT while moving ~8x less memory (the guest's scarce resource —
     # BENCH.md round-3 forensics).
     trimmed = hash_mats[:, : bh * grid, : bw * grid]
-    block_sums = trimmed.reshape(n, grid, bh, grid, bw).sum(
-        axis=(2, 4), dtype=np.int64
-    )
+    # Two-stage reduction, strided bh axis first: numpy's single fused
+    # sum(axis=(2, 4), dtype=int64) walks the stack with an 8-byte
+    # accumulator per 1-byte pixel; reducing axis 2 first keeps the inner
+    # loop on the contiguous (grid, bw) tail and the intermediate at 2 or
+    # 4 bytes — measured 5x on the bench shapes. Integer sums are exact at
+    # every stage (uint16 holds bh * 255 for bh <= 257, i.e. h <= 2056;
+    # taller images take the int32 stage), so the result — and the phash
+    # bits derived from it — is bit-identical to the fused reduction.
+    r5 = trimmed.reshape(n, grid, bh, grid, bw)
+    s1_dtype = np.uint16 if bh * 255 <= np.iinfo(np.uint16).max else np.int32
+    block_sums = r5.sum(axis=2, dtype=s1_dtype).sum(axis=3, dtype=np.int64)
     blocks = block_sums / float(bh * bw)
     bits = blocks > blocks.mean(axis=(1, 2))[:, None, None]
     weights = (1 << np.arange(63, dtype=np.uint64))
