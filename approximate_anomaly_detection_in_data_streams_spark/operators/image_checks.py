@@ -447,7 +447,7 @@ def decode_digests(images: DataFrame, ordinal_col: str | None = None) -> DataFra
 
 
 def decode_digests_parquet(
-    spark, path: str, batch_rows: int = 8192, splits_per_task: int = 1
+    spark, path: str, batch_rows: int = 8192, splits_per_task: int | None = None
 ) -> DataFrame:
     """Payload-local decode: Spark schedules (file, row-group) splits and
     each Python task reads its row groups straight from parquet with
@@ -488,7 +488,19 @@ def decode_digests_parquet(
     # partitions would leave ~1/e of tasks empty and give stragglers 2-3
     # row groups (measured +15% stage wall); round-robin places exactly
     # splits_per_task splits per task
-    n_tasks = max(1, len(splits) // max(splits_per_task, 1))
+    if splits_per_task is None:
+        # Bin-pack splits into ~4 waves per core: every Python task pays a
+        # fixed runner handshake (~0.16 s on this guest, measured with an
+        # identity mapInArrow — payload-independent), so one task per row
+        # group is right only when row groups are written at the production
+        # ~128 MB target. Small-file tables (the sandbox generator writes
+        # 781-row groups) would otherwise serialize 128 x 0.16 s of pure
+        # handshake at 1 CPU — 6x the kernel itself. Four waves keeps skew
+        # headroom; an explicit splits_per_task overrides (tests pin it).
+        par = max(spark.sparkContext.defaultParallelism, 1)
+        n_tasks = max(1, min(len(splits), 4 * par))
+    else:
+        n_tasks = max(1, len(splits) // max(splits_per_task, 1))
     sdf = spark.createDataFrame(splits, "path string, rg int").repartition(n_tasks)
 
     cols = ["image_id", "bytes", "w", "h", "fmt", "caption", "phash"]
@@ -769,6 +781,19 @@ def row_checks_and_features(
             F.col("_t.ref_phash").alias("_ref_phash"),
         )
     )
+    if persist_digests:
+        # the election result appears up to FOUR times in the assembled
+        # physical plan: the main digest join, plus every re-evaluation of
+        # `disagreed` (psnr_verify broadcasts those ids on both of its
+        # semi-join legs, and each broadcast subtree embeds base = digests
+        # JOIN ref_digest). Unpersisted, each instance re-runs the
+        # reference scan + the per-id SortAggregate (min(struct) is not
+        # hash-aggregable — the group sort runs per recompute). The
+        # elected rows are narrow (id, caption, phash): MEMORY_AND_DISK
+        # like the digest stage.
+        from pyspark import StorageLevel
+
+        ref_digest = ref_digest.persist(StorageLevel.MEMORY_AND_DISK)
     base = (
         digests.join(ref_digest, "image_id", "left")
         .withColumn("_has_ref", F.col("_ref_phash").isNotNull())
