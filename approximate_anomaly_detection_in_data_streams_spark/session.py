@@ -75,6 +75,14 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", driver_memory or os.environ.get("AADS_DRIVER_MEM", "8g"))
     )
+    # Pinned-budget runs (scripts/bench_scaling.py) export $AADS_JAVA_OPTS
+    # (e.g. -XX:ActiveProcessorCount=N): a taskset-bounded JVM otherwise
+    # sizes GC/JIT/common pools for the MACHINE's 32 cores — 23 parallel
+    # GC threads thrashing a 4-core budget — where a real N-core executor
+    # host would report N processors to the JVM.
+    java_opts = os.environ.get("AADS_JAVA_OPTS")
+    if java_opts:
+        builder = builder.config("spark.driver.extraJavaOptions", java_opts)
     for key, value in (extra or {}).items():
         builder = builder.config(key, value)
     spark = builder.getOrCreate()

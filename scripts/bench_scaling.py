@@ -359,12 +359,17 @@ def pinned_once(
 ) -> dict[str, float]:
     cpus = f"0-{cores - 1}"
     mode = "--run-one-detector" if stage == "detector" else "--run-one"
+    env = dict(os.environ)
+    # make the pinned JVM size its GC/JIT/common pools for the budget it
+    # actually has (a real N-core executor host reports N processors);
+    # without this a 24 GB heap runs 23 parallel GC threads on 4 cores
+    env["AADS_JAVA_OPTS"] = f"-XX:ActiveProcessorCount={cores}"
     out = subprocess.run(
         [
             "taskset", "-c", cpus, sys.executable, os.path.abspath(__file__),
             mode, str(cores), img_path, ref_path,
         ],
-        capture_output=True, text=True, check=True,
+        capture_output=True, text=True, check=True, env=env,
     )
     rec = json.loads(out.stdout.strip().splitlines()[-1])
     print(json.dumps({"cores": cores, **{k: round(v, 2) for k, v in rec.items()}}))
