@@ -576,12 +576,23 @@ def _decode_rows(vals: np.ndarray) -> list[np.ndarray | None]:
             for k, i in enumerate(idxs):
                 raw = np.frombuffer(vals[i], dtype="<i2", offset=8)
                 np.multiply(raw, float(codec.JPEG_Q), out=coeffs[k])
-            img = np.einsum(
-                "ji,najbk,kl->naibl",
-                codec._DCT8,
-                coeffs.reshape(g, ph8 // 8, 8, pw8 // 8, 8),
-                codec._DCT8,
-            ).reshape(g, ph8, pw8)
+            # inverse DCT per the format contract (image_codec.CONTRACT_IDCT):
+            # the (D.T @ B) @ D association over the (n, 8, 8) block stack —
+            # the einsum contraction this replaces computes the same values
+            # but through a different float summation order, so only the
+            # dgemm form is guaranteed bit-identical to codec.decode and the
+            # batched digest kernel (psnr/pixels_equal here must see exactly
+            # the digest path's pixels)
+            D = codec._DCT8
+            blocks = np.ascontiguousarray(
+                coeffs.reshape(g, ph8 // 8, 8, pw8 // 8, 8).transpose(0, 1, 3, 2, 4)
+            ).reshape(-1, 8, 8)
+            img = (
+                (D.T @ blocks @ D)
+                .reshape(g, ph8 // 8, pw8 // 8, 8, 8)
+                .transpose(0, 1, 3, 2, 4)
+                .reshape(g, ph8, pw8)
+            )
             np.rint(img, out=img)
             np.clip(img, 0, 255, out=img)
             stack = img[:, :h, :w].astype(np.uint8)
