@@ -57,6 +57,9 @@ DET_WS = DET_W // DET_S
 APPROX_PD_LIMIT, APPROX_AR_FACTOR = 300, 0.3
 
 JACCARD_N, JACCARD_T = 3, 0.7
+# at-scale stop-shingle document-frequency cap (the tier that bounds the
+# inverted-index join's per-shingle fan-out; uncapped = exact opt-in)
+JACCARD_DF_CAP = 200
 COS_T = 0.4
 KNN_K, KNN_NQ = 5, 20
 HH_MIN = 100
@@ -448,6 +451,30 @@ def q_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_ops.dedup_groups(pairs)
 
 
+def q_jaccard_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """At-scale tier of the n-gram Jaccard join (VERDICT r4 #2): shingles
+    whose document frequency exceeds JACCARD_DF_CAP are dropped before the
+    inverted-index join, bounding per-shingle join fan-out at df² ≤ cap²
+    — the tier that holds linear at sf1 (8.1 s vs >600 s uncapped,
+    BENCH.md) and the one to copy for a 100 TB corpus. The oracle applies
+    the identical cap, so similarity is exact over the capped shingle
+    sets on both sides."""
+    return dedup_ops.ngram_jaccard_pairs(
+        _load(spark, sf_dir, "documents"), "doc_id", "text", JACCARD_N, JACCARD_T,
+        max_shingle_df=JACCARD_DF_CAP,
+    )
+
+
+def q_dedup_groups_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the CAPPED Jaccard pairs — the at-scale
+    dedup-resolution path (same min-label propagation + pointer jumping)."""
+    pairs = dedup_ops.ngram_jaccard_pairs(
+        _load(spark, sf_dir, "documents"), "doc_id", "text", JACCARD_N, JACCARD_T,
+        max_shingle_df=JACCARD_DF_CAP,
+    )
+    return dedup_ops.dedup_groups(pairs)
+
+
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_ops.embedding_neardup_pairs(
         _load(spark, sf_dir, "embeddings"), "vec_id", "embedding", COS_T
@@ -664,7 +691,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize_events": q_sessionize_events,
         "exact_dups_documents": q_exact_dups_documents,
         "jaccard_pairs_documents": q_jaccard_pairs_documents,
+        "jaccard_pairs_capped": q_jaccard_pairs_capped,
         "dedup_groups": q_dedup_groups,
+        "dedup_groups_capped": q_dedup_groups_capped,
         "minhash_pairs_documents": q_minhash_pairs_documents,
         "simhash_pairs_documents": q_simhash_pairs_documents,
         "simhash_fast_documents": q_simhash_fast_documents,
@@ -828,14 +857,28 @@ from feats order by doc_id
 """
 
 
-def _jaccard_sql() -> str:
+def _cap_sql(cap: int | None) -> str:
+    """Shingle stop-list subquery shared by the Jaccard twins: identity
+    when uncapped, else drop shingles whose document frequency exceeds
+    ``cap`` — the same semantics as ``ngram_jaccard_pairs(max_shingle_df=
+    cap)`` (operators/dedup.py), so the DuckDB twin stays portable."""
+    if cap is None:
+        return "select * from sh0"
+    return f"""
+  select sh0.* from sh0 join (
+    select shingle from sh0 group by 1 having count(*) <= {cap}
+  ) rare using (shingle)"""
+
+
+def _jaccard_sql(cap: int | None = None) -> str:
     n = JACCARD_N
     return f"""
-with sh as (
+with sh0 as (
   select distinct doc_id as id, substr(text, s.b, {n}) as shingle
   from documents,
        unnest(generate_series(1, greatest(length(text) - {n - 1}, 1))) as s(b)
   where length(substr(text, s.b, {n})) = {n}
+), sh as ({_cap_sql(cap)}
 ), sizes as (select id, count(*) as sz from sh group by 1),
 common as (
   select a.id as id_a, b.id as id_b, count(*) as c
@@ -850,14 +893,15 @@ order by id_a, id_b
 """
 
 
-def _dedup_groups_sql() -> str:
+def _dedup_groups_sql(cap: int | None = None) -> str:
     n = JACCARD_N
     return f"""
-with recursive sh as (
+with recursive sh0 as (
   select distinct doc_id as id, substr(text, s.b, {n}) as shingle
   from documents,
        unnest(generate_series(1, greatest(length(text) - {n - 1}, 1))) as s(b)
   where length(substr(text, s.b, {n})) = {n}
+), sh as ({_cap_sql(cap)}
 ), sizes as (select id, count(*) as sz from sh group by 1),
 common as (
   select a.id as id_a, b.id as id_b, count(*) as c
@@ -1431,10 +1475,12 @@ select md5(text) as content_hash, count(*) as n_dup, min(doc_id) as min_id
 from documents group by 1 having count(*) > 1 order by n_dup desc, min_id
 """,
         "jaccard_pairs_documents": _jaccard_sql(),
+        "jaccard_pairs_capped": _jaccard_sql(cap=JACCARD_DF_CAP),
         "minhash_pairs_documents": _jaccard_sql(),
         "simhash_pairs_documents": _simhash_sql(),
         "detector_recall": _detector_recall_sql(),
         "dedup_groups": _dedup_groups_sql(),
+        "dedup_groups_capped": _dedup_groups_sql(cap=JACCARD_DF_CAP),
         "embedding_neardup": _embedding_neardup_sql(),
         "knn_bruteforce": _knn_sql(),
         "srp_ann": _srp_ann_sql(),

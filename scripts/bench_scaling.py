@@ -23,7 +23,22 @@ Protocol per level:
 Usage:
   python scripts/bench_scaling.py [n_images] [--quick] [--pair=N,4N]
          [--reps=K] [--stage=full|detector] [--mix=std|jpeg]
+         [--protocol=best|median] [--target-pairs=K] [--max-reps=K]
+         [--probe-tol=X]
   python scripts/bench_scaling.py --run-one <cores> <img> <ref>   (internal)
+
+Contention-aware acceptance (--protocol=median, round-5 default for the
+headline number): the shared guest host has bursty co-tenant interference
+phases (measured 1.3-4.5x wall swings on identical code+input, BENCH.md
+round-4 forensics), so a single best-of pair conflates the engine with the
+phase it sampled. The median protocol brackets EVERY leg with a pinned
+single-core memory-bandwidth probe (the contended resource per those same
+forensics); a rep's four probes must all fall within --probe-tol of the
+session's calibrated quiet-phase floor or the rep is discarded as
+phase-poisoned. It keeps interleaving (lo, hi, lo, hi, ...) until
+--target-pairs accepted reps exist (or --max-reps attempts), then reports
+the MEDIAN efficiency over accepted reps — a number a reviewer can re-run,
+not a record.
 """
 
 from __future__ import annotations
@@ -228,9 +243,15 @@ def run_one(cores: int, img_path: str, ref_path: str) -> None:
             # when data >> cores, while a fixed small split manufactures
             # dozens of per-task overheads at a 1-CPU budget (25 ms JVM /
             # ~165 ms Python runner each, measured) with no parallelism to
-            # hide them — exactly what a real N-core cluster would not pay
+            # hide them — exactly what a real N-core cluster would not pay.
+            # Sized from the SMALLER of the two scanned tables so the
+            # reference scan is never under-parallelized by a split tuned
+            # to a much larger image table (ADVICE r4)
             "spark.sql.files.maxPartitionBytes": str(
-                _scan_split_bytes(img_path, cores)
+                min(
+                    _scan_split_bytes(img_path, cores),
+                    _scan_split_bytes(ref_path, cores),
+                )
             ),
             "spark.sql.files.openCostInBytes": "131072",
         },
@@ -376,6 +397,111 @@ def pinned_once(
     return rec
 
 
+def probe(core: int = 0) -> float:
+    """Pinned single-core memory-bandwidth probe (seconds, lower = quieter).
+
+    Streams a triad-like ``b = a + b`` over two 256 MB float64 arrays, 8
+    passes (~12 GB of memory traffic), pinned to one core. Memory bandwidth
+    is the contended resource on this guest (round-4 forensics: co-tenant
+    phases swing identical runs 1.3-4.5x and the allocator microbench moved
+    with them), so the probe wall tracks the host phase while costing ~2 s.
+    Run OUTSIDE the leg (before/after) on core 0, which every leg budget
+    includes — the probe measures the host, not the leg."""
+    code = (
+        "import numpy as np, time\n"
+        "n = 32 * 1024 * 1024\n"
+        "a = np.ones(n, dtype=np.float64); b = np.ones(n, dtype=np.float64)\n"
+        "np.add(a, b, out=b)\n"  # fault pages before timing
+        "t = time.perf_counter()\n"
+        "for _ in range(8): np.add(a, b, out=b)\n"
+        "print(time.perf_counter() - t)\n"
+    )
+    out = subprocess.run(
+        ["taskset", "-c", str(core), sys.executable, "-c", code],
+        capture_output=True, text=True, check=True,
+    )
+    return float(out.stdout.strip().splitlines()[-1])
+
+
+def accepted_median_runs(
+    lo: int,
+    hi: int,
+    img_path: str,
+    ref_path: str,
+    stage: str,
+    n: int,
+    target_pairs: int = 3,
+    max_reps: int = 6,
+    tol: float = 1.25,
+) -> dict:
+    """Contention-aware median protocol (round-5; VERDICT r4 item #1).
+
+    Each rep is an interleaved (lo-leg, hi-leg) pair bracketed by three
+    single-core bandwidth probes (before lo / between / after hi). The
+    quiet-phase floor is the MINIMUM probe observed across the whole
+    session (including three calibration probes up front); a rep is
+    ACCEPTED iff all three of its probes are <= tol * floor — i.e. the
+    host was in the same phase for both legs and that phase was quiet.
+    Acceptance is evaluated at the END against the final floor, so an
+    early loaded-phase calibration cannot grandfather poisoned reps in.
+    The headline is the MEDIAN efficiency over accepted reps."""
+    factor = hi / lo
+    cal = [probe() for _ in range(3)]
+    print(json.dumps({"probe_calibration": [round(p, 3) for p in cal]}))
+    reps = []
+    for i in range(max_reps):
+        p0 = probe()
+        rec_lo = pinned_once(lo, img_path, ref_path, stage)
+        p1 = probe()
+        rec_hi = pinned_once(hi, img_path, ref_path, stage)
+        p2 = probe()
+        eff = rec_lo["wall"] / (factor * rec_hi["wall"])
+        rep = {
+            "wall_lo": rec_lo["wall"],
+            "wall_hi": rec_hi["wall"],
+            "efficiency": round(eff, 3),
+            "probes": [round(p, 3) for p in (p0, p1, p2)],
+        }
+        reps.append(rep)
+        print(json.dumps({"rep": i, **rep}))
+        floor_now = min(cal + [p for r in reps for p in r["probes"]])
+        n_ok = sum(
+            1 for r in reps if max(r["probes"]) <= tol * floor_now
+        )
+        if n_ok >= target_pairs:
+            break
+    floor = min(cal + [p for r in reps for p in r["probes"]])
+    for r in reps:
+        r["accepted"] = max(r["probes"]) <= tol * floor
+    accepted = [r for r in reps if r["accepted"]]
+    effs = sorted(r["efficiency"] for r in accepted)
+    median_eff = effs[len(effs) // 2] if len(effs) % 2 else round(
+        (effs[len(effs) // 2 - 1] + effs[len(effs) // 2]) / 2, 3
+    ) if effs else None
+    best_lo = min((r["wall_lo"] for r in accepted), default=None)
+    best_hi = min((r["wall_hi"] for r in accepted), default=None)
+    return {
+        "protocol": "accepted-median",
+        "probe_floor_s": round(floor, 3),
+        "probe_tol": tol,
+        "acceptance_rule": (
+            f"rep accepted iff all 3 bracketing single-core bandwidth "
+            f"probes <= {tol} * session-min probe ({round(floor, 3)} s); "
+            f"headline = median efficiency over accepted reps"
+        ),
+        "reps_run": len(reps),
+        "reps_accepted": len(accepted),
+        "efficiencies_accepted": effs,
+        "efficiencies_all": [r["efficiency"] for r in reps],
+        "median_efficiency": median_eff,
+        "best_accepted_wall_lo": best_lo,
+        "best_accepted_wall_hi": best_hi,
+        "images_per_s_lo": round(n / best_lo, 1) if best_lo else None,
+        "images_per_s_hi": round(n / best_hi, 1) if best_hi else None,
+        "reps": reps,
+    }
+
+
 def interleaved_runs(
     lo: int, hi: int, img_path: str, ref_path: str, reps: int = 2, stage: str = "full"
 ) -> tuple[dict[str, float], dict[str, float]]:
@@ -411,6 +537,10 @@ def main() -> None:
     reps = 2
     stage = "full"
     mix = "std"
+    protocol = "best"
+    target_pairs = 3
+    max_reps = 6
+    probe_tol = 1.25
     for a in sys.argv[1:]:
         if a == "--quick":
             n = 40_000
@@ -422,6 +552,14 @@ def main() -> None:
             stage = a.split("=")[1]
         elif a.startswith("--mix="):
             mix = a.split("=")[1]
+        elif a.startswith("--protocol="):
+            protocol = a.split("=")[1]
+        elif a.startswith("--target-pairs="):
+            target_pairs = int(a.split("=")[1])
+        elif a.startswith("--max-reps="):
+            max_reps = int(a.split("=")[1])
+        elif a.startswith("--probe-tol="):
+            probe_tol = float(a.split("=")[1])
         elif a.isdigit():
             n = int(a)
     os.makedirs(WORKDIR, exist_ok=True)
@@ -430,6 +568,29 @@ def main() -> None:
         ref_path = "-"
     else:
         img_path, ref_path = materialize(n, mix)
+
+    if protocol == "median":
+        result = accepted_median_runs(
+            lo, hi, img_path, ref_path, stage, n,
+            target_pairs=target_pairs, max_reps=max_reps, tol=probe_tol,
+        )
+        result.update(
+            {"n_images": n, "stage": stage, "mix": mix, "cpus": [lo, hi],
+             "target": ">= 0.8 (median over accepted reps)"}
+        )
+        print(json.dumps(result))
+        with open("BENCH.md", "a") as fh:
+            fh.write(
+                f"\n| {n} (median protocol"
+                f"{'' if stage == 'full' else f', {stage}'}) | {lo}->{hi} | "
+                f"{result['best_accepted_wall_lo']} | "
+                f"{result['best_accepted_wall_hi']} | "
+                f"{result['images_per_s_lo']} | {result['images_per_s_hi']} | "
+                f"median {result['median_efficiency']} over "
+                f"{result['reps_accepted']}/{result['reps_run']} accepted "
+                f"(all: {result['efficiencies_all']}, tol {probe_tol}) |"
+            )
+        return
 
     best_lo, best_hi = interleaved_runs(lo, hi, img_path, ref_path, reps, stage)
     t_lo, t_hi = best_lo["wall"], best_hi["wall"]
