@@ -519,6 +519,32 @@ def q_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# (n, dim, seed, n_centers, nlist, nprobe, k, lloyd_iters, nq) — shared
+# verbatim with the sequential replay (oracle/planted.py::ivf_refined_truth)
+IVF_REF = (4000, 16, 17, 12, 32, 4, 5, 2, 50)
+
+
+def q_ivf_ann_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd-REFINED IVF tier (lloyd_iters=2) over the planted vector
+    corpus (sources/vectors.py) — the production-recall codebook path,
+    previously recall-gated only (VERDICT r4 #6). deterministic=True pins
+    every float reduction to a replayable order (ascending-id left-fold
+    Lloyd sums), so the planted sequential NumPy replay re-derives the
+    refined codebook, the bucket assignment, and the final rounded top-k
+    bit-for-bit."""
+    from approximate_anomaly_detection_in_data_streams_spark.sources.vectors import (
+        generate_vectors,
+    )
+
+    n, dim, seed, n_centers, nlist, nprobe, k, iters, nq = IVF_REF
+    vecs = generate_vectors(spark, n, dim, seed, n_centers)
+    queries = vecs.where(F.col("vec_id") < nq)
+    return knn_ops.ivf_ann_topk(
+        vecs, queries, "vec_id", "embedding", dim=dim, k=k,
+        nlist=nlist, nprobe=nprobe, lloyd_iters=iters, deterministic=True,
+    )
+
+
 # ---- text analysis ----
 
 
@@ -701,6 +727,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_bruteforce": q_knn_bruteforce,
         "srp_ann": q_srp_ann,
         "ivf_ann": q_ivf_ann,
+        "ivf_ann_refined": q_ivf_ann_refined,
         "lang_id_documents": q_lang_id_documents,
         "quality_documents": q_quality_documents,
         "token_counts_documents": q_token_counts_documents,
@@ -1327,6 +1354,7 @@ def _multimodal_oracle_sqls() -> dict[str, str]:
     paths = ensure_truth(
         out_dir, _image_cfg(), vcfg, MEDIA_N, 11, 2,
         simhash_n=SIMHASH_FAST_N, simhash_seed=11, simhash_max_hamming=3,
+        ivf=IVF_REF,
     )
     return {
         "image_partition_verdicts": f"""
@@ -1356,6 +1384,10 @@ from read_parquet('{paths["video"]}') order by video_id, frame_idx
         "simhash_fast_documents": f"""
 select id_a, id_b, hamming
 from read_parquet('{paths["simhash_fast"]}') order by id_a, id_b
+""",
+        "ivf_ann_refined": f"""
+select query_id, neighbor_id, cosine, rank
+from read_parquet('{paths["ivf_refined"]}') order by query_id, rank
 """,
     }
 

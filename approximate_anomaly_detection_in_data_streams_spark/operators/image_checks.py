@@ -711,8 +711,16 @@ def row_checks_and_features(
     ordinal_col: str | None = None,
     persist_digests: bool = True,
     payload_path: str | None = None,
+    persisted_out: list | None = None,
 ) -> DataFrame:
     """Row checks AND drift features — digest-first dataflow.
+
+    ``persist_digests`` caches two narrow intermediates (decoded digests,
+    elected reference digests) at MEMORY_AND_DISK for the lifetime of the
+    session — repeated calls in a long-lived session accumulate cache
+    entries. Pass ``persisted_out`` (a list) to receive the persisted
+    DataFrames; after materializing every sink built on the output, call
+    ``.unpersist()`` on each to release them (ADVICE r4).
 
     1. ``decode_digests``: map-only decode of every row (no byte shuffle);
     2. digest rows join the reference digests (ref_phash, ref_caption) —
@@ -755,6 +763,8 @@ def row_checks_and_features(
         from pyspark import StorageLevel
 
         digests = digests.persist(StorageLevel.MEMORY_AND_DISK)
+        if persisted_out is not None:
+            persisted_out.append(digests)
     if reference is None:
         return digests.select(
             "image_id",
@@ -805,6 +815,8 @@ def row_checks_and_features(
         from pyspark import StorageLevel
 
         ref_digest = ref_digest.persist(StorageLevel.MEMORY_AND_DISK)
+        if persisted_out is not None:
+            persisted_out.append(ref_digest)
     base = (
         digests.join(ref_digest, "image_id", "left")
         .withColumn("_has_ref", F.col("_ref_phash").isNotNull())

@@ -133,6 +133,7 @@ def ivf_centroids(
     vec_col: str,
     nlist: int = 32,
     lloyd_iters: int = 0,
+    deterministic: bool = False,
 ) -> np.ndarray:
     """Deterministic, SQL-portable IVF coarse quantizer: the ``nlist``
     corpus vectors with the smallest md5-derived priority (the same
@@ -148,10 +149,14 @@ def ivf_centroids(
     codebook) plus ONE narrow aggregation (per-centroid count + per-dim
     sums as ``dim`` codegen sum columns — no explode, no second shuffle)
     and a bounded ``nlist``-row collect; empty clusters keep their
-    previous centroid. The refined codebook is NOT SQL-portable (float
-    aggregation order varies with partitioning), so the oracled entry
-    point keeps ``lloyd_iters=0``; recall improvement is gated by
+    previous centroid. With the default free-order reduction the refined
+    codebook is NOT SQL-portable (float aggregation order varies with
+    partitioning): that tier is recall-gated by
     tests/test_profile_ops.py::test_ivf_lloyd_refinement_improves_recall.
+    ``deterministic=True`` switches each iteration to the ascending-id
+    left-fold reduction (see ``_lloyd_step``), which a sequential replay
+    reproduces bit-for-bit — the planted-truth-oracled tier
+    (ivf_ann_refined).
 
     Returns (nlist, dim) float64, rows unit-normalized with a sequential
     left-to-right norm accumulation (bit-reproducible fold).
@@ -175,20 +180,68 @@ def ivf_centroids(
     C = np.stack([np.asarray(r["vec"], dtype=np.float64) for r in rows])
     C = C / _seq_norm(C)[:, None]
     for _ in range(lloyd_iters):
-        C = _lloyd_step(vectors, vec_col, C)
+        C = _lloyd_step(
+            vectors, vec_col, C, id_col=id_col if deterministic else None
+        )
     return C
 
 
-def _lloyd_step(vectors: DataFrame, vec_col: str, C: np.ndarray) -> np.ndarray:
+def _lloyd_step(
+    vectors: DataFrame, vec_col: str, C: np.ndarray, id_col: str | None = None
+) -> np.ndarray:
     """One distributed spherical-k-means step: assign every corpus vector
     to its nearest centroid (broadcast codebook, Arrow-batched), sum per
     (centroid, dim) in one aggregation, renormalize the means. The
     aggregation input is one (cidx, v) row per vector and the output is
     ``nlist`` rows of ``1 + dim`` columns — map-side combine does the
-    heavy lifting, nothing unbounded reaches the driver."""
+    heavy lifting, nothing unbounded reaches the driver.
+
+    ``id_col`` selects the DETERMINISTIC reduction: each centroid's
+    member vectors are folded left-to-right in ascending-id order inside
+    one ``applyInPandas`` group, so the per-centroid sums are a pure
+    function of the input rows — independent of partitioning or task
+    order — and a sequential replay (oracle/planted.py::ivf_refined_truth)
+    reproduces the refined codebook bit-for-bit. One extra shuffle of
+    narrow (id, cidx, v) rows keyed by centroid; the default (id_col=None)
+    keeps the free-order ``F.sum`` map-side-combine tier for production
+    scale, where a serial fold per centroid would bottleneck on the
+    largest cluster."""
     nlist, dim = C.shape
     assign = _ivf_probe_udf(C, 1)
     vd = F.transform(vec_col, lambda x: x.cast("double"))
+    newC = C.copy()  # clusters with no members keep their centroid
+    if id_col is not None:
+        assigned = vectors.select(
+            F.col(id_col).cast("long").alias("id"),
+            assign(F.col(vec_col))[0].alias("cidx"),
+            vd.alias("v"),
+        )
+
+        def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+            pdf = pdf.sort_values("id")
+            X = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+            acc = np.zeros(X.shape[1], dtype=np.float64)
+            for r in range(X.shape[0]):
+                acc = acc + X[r]
+            return pd.DataFrame(
+                {
+                    "cidx": [int(pdf["cidx"].iloc[0])],
+                    "n": [len(pdf)],
+                    "s": [acc],
+                }
+            )
+
+        agg = (
+            assigned.groupBy("cidx")
+            .applyInPandas(fold, "cidx int, n long, s array<double>")
+            .collect()
+        )
+        for r in agg:
+            m = np.asarray(r["s"], dtype=np.float64) / r["n"]
+            norm = float(np.linalg.norm(m))
+            if norm > 0.0:
+                newC[r["cidx"]] = m / norm
+        return newC
     assigned = vectors.select(
         assign(F.col(vec_col))[0].alias("cidx"), vd.alias("v")
     )
@@ -200,7 +253,6 @@ def _lloyd_step(vectors: DataFrame, vec_col: str, C: np.ndarray) -> np.ndarray:
         )
         .collect()
     )
-    newC = C.copy()  # clusters with no members keep their centroid
     for r in agg:
         m = np.array([r[f"s{i}"] for i in range(dim)], dtype=np.float64) / r["n"]
         norm = float(np.linalg.norm(m))
@@ -249,6 +301,7 @@ def ivf_ann_topk(
     nlist: int = 32,
     nprobe: int = 8,
     lloyd_iters: int = 0,
+    deterministic: bool = False,
 ) -> DataFrame:
     """IVF-Flat approximate top-k: inverted-file coarse quantization +
     exact cosine re-rank — the second scale path beside SRP-LSH.
@@ -268,7 +321,10 @@ def ivf_ann_topk(
     same nprobe, recall-gated in tests instead of SQL-oracled). Output:
     (query_id, neighbor_id, cosine, rank), rank <= k.
     """
-    C = ivf_centroids(vectors, id_col, vec_col, nlist, lloyd_iters=lloyd_iters)
+    C = ivf_centroids(
+        vectors, id_col, vec_col, nlist,
+        lloyd_iters=lloyd_iters, deterministic=deterministic,
+    )
     assign1 = _ivf_probe_udf(C, 1)
     assignp = _ivf_probe_udf(C, nprobe)
     corpus = vectors.select(

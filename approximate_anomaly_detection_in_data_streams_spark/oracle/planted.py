@@ -533,6 +533,133 @@ def simhash_fast_truth(n: int, seed: int, max_hamming: int = 3) -> list[dict]:
     return out
 
 
+def ivf_refined_truth(
+    n: int,
+    dim: int,
+    seed: int,
+    n_centers: int,
+    nlist: int,
+    nprobe: int,
+    k: int,
+    lloyd_iters: int,
+    nq: int,
+) -> list[dict]:
+    """Expected (query_id, neighbor_id, cosine, rank) of the Lloyd-REFINED
+    IVF tier (operators/knn.py::ivf_ann_topk with lloyd_iters > 0,
+    deterministic=True) over the planted vector corpus
+    (sources/vectors.py::vector_values) — a SEQUENTIAL NumPy replay of the
+    whole index build and search, importing nothing from operators/.
+
+    Float-exactness argument: the distributed side pins every float
+    reduction to a replayable order — md5-priority seed selection is exact
+    integer arithmetic; centroid/query normalization is a left-to-right
+    squared-sum fold; nearest-centroid distances accumulate per-dim
+    left-to-right inside one vectorized kernel; the per-centroid Lloyd
+    sums fold members in ascending-id order (the deterministic reduction,
+    knn.py::_lloyd_step); and the final cosine is Spark's
+    ``F.aggregate`` left fold over JVM doubles, which scalar Python float
+    arithmetic reproduces bit-for-bit. Rounding uses HALF_UP decimal
+    quantization, matching Spark's BigDecimal ``round(x, 6)``.
+    """
+    import hashlib
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from ..sources.vectors import vector_values
+
+    V32 = np.array(
+        [vector_values(seed, i, dim, n_centers) for i in range(n)],
+        dtype=np.float32,
+    )
+    V = V32.astype(np.float64)
+
+    def seq_norm(X: np.ndarray) -> np.ndarray:
+        acc = X[:, 0] * X[:, 0]
+        for j in range(1, X.shape[1]):
+            acc = acc + X[:, j] * X[:, j]
+        return np.sqrt(acc)
+
+    def probes(X: np.ndarray, C: np.ndarray, m: int) -> np.ndarray:
+        Xn = X / seq_norm(X)[:, None]
+        d = Xn[:, 0:1] - C[None, :, 0]
+        D = d * d
+        for j in range(1, X.shape[1]):
+            d = Xn[:, j : j + 1] - C[None, :, j]
+            D += d * d
+        return np.argsort(D, axis=1, kind="stable")[:, :m]
+
+    # seed codebook: nlist smallest md5-derived priorities, (prio, id) order
+    prio = [
+        (int(hashlib.md5(f"{i}_ivf".encode()).hexdigest()[:15], 16), i)
+        for i in range(n)
+    ]
+    seed_ids = [i for _p, i in sorted(prio)[:nlist]]
+    C = V[seed_ids].copy()
+    C = C / seq_norm(C)[:, None]
+
+    for _ in range(lloyd_iters):
+        cidx = probes(V, C, 1)[:, 0]
+        newC = C.copy()
+        for c in range(nlist):
+            members = np.flatnonzero(cidx == c)  # ascending id
+            if len(members) == 0:
+                continue
+            acc = np.zeros(dim, dtype=np.float64)
+            for i in members:
+                acc = acc + V[i]
+            mean = acc / len(members)
+            norm = float(np.linalg.norm(mean))
+            if norm > 0.0:
+                newC[c] = mean / norm
+        C = newC
+
+    corpus_cidx = probes(V, C, 1)[:, 0]
+    by_cidx: dict[int, list[int]] = defaultdict(list)
+    for i, c in enumerate(corpus_cidx):
+        by_cidx[int(c)].append(i)
+
+    def cosine(q: int, v: int) -> float:
+        # Spark's F.aggregate left fold over element-wise float->double
+        # casts: scalar Python floats ARE IEEE doubles, same op order
+        dot, na, nb = 0.0, 0.0, 0.0
+        for j in range(dim):
+            x, y = float(V32[q, j]), float(V32[v, j])
+            dot = dot + x * y
+            na = na + x * x
+            nb = nb + y * y
+        import math
+
+        return dot / (math.sqrt(na) * math.sqrt(nb))
+
+    q_probe = probes(V[:nq], C, nprobe)
+    out = []
+    six = Decimal("0.000001")
+    for q in range(nq):
+        cands = []
+        for c in q_probe[q]:
+            for v in by_cidx.get(int(c), ()):
+                if v != q:
+                    cands.append(v)
+        scored = []
+        for v in set(cands):
+            # Spark's round(double, 6) quantizes BigDecimal.valueOf(x) —
+            # the SHORTEST round-trip decimal repr (Double.toString), which
+            # Python's repr() also produces — not the exact binary
+            # expansion (Decimal(x) would diverge on half-way-looking
+            # doubles whose exact expansion sits just below the tie)
+            r6 = float(
+                Decimal(repr(cosine(q, v))).quantize(
+                    six, rounding=ROUND_HALF_UP
+                )
+            )
+            scored.append((r6, v))
+        scored.sort(key=lambda t: (-t[0], t[1]))
+        for rank, (cos, v) in enumerate(scored[:k], start=1):
+            out.append(
+                {"query_id": q, "neighbor_id": v, "cosine": cos, "rank": rank}
+            )
+    return out
+
+
 # ---------------------------------------------------------------------------
 # parquet persistence (driver-side, cached by config fingerprint)
 # ---------------------------------------------------------------------------
@@ -548,6 +675,8 @@ def ensure_truth(
     simhash_n: int = 1000,
     simhash_seed: int = 11,
     simhash_max_hamming: int = 3,
+    ivf: tuple[int, ...] | None = None,  # (n, dim, seed, n_centers, nlist,
+    #                                       nprobe, k, lloyd_iters, nq)
 ) -> dict[str, str]:
     """Write (once per config) the truth parquet side tables the DuckDB
     oracle reads; returns {name: absolute path}. Pure driver-side Python —
@@ -569,6 +698,7 @@ def ensure_truth(
             ],
             "media": [media_n, media_seed, every_k],
             "simhash": [simhash_n, simhash_seed, simhash_max_hamming],
+            "ivf": list(ivf) if ivf else None,
             "rev": 2,  # 2 = standalone re-derivation (no operators/functions imports)
         },
         sort_keys=True,
@@ -576,12 +706,10 @@ def ensure_truth(
     )
     os.makedirs(out_dir, exist_ok=True)
     stamp = os.path.join(out_dir, "fingerprint.json")
-    paths = {
-        name: os.path.join(out_dir, f"{name}.parquet")
-        for name in (
-            "violations", "verdicts", "drift", "audio", "video", "simhash_fast"
-        )
-    }
+    names = ["violations", "verdicts", "drift", "audio", "video", "simhash_fast"]
+    if ivf:
+        names.append("ivf_refined")
+    paths = {name: os.path.join(out_dir, f"{name}.parquet") for name in names}
     if os.path.exists(stamp) and open(stamp).read() == fp and all(
         os.path.exists(p) for p in paths.values()
     ):
@@ -654,6 +782,19 @@ def ensure_truth(
             [("id_a", pa.int64()), ("id_b", pa.int64()), ("hamming", pa.int64())]
         ),
     )
+    if ivf:
+        write(
+            "ivf_refined",
+            ivf_refined_truth(*ivf),
+            pa.schema(
+                [
+                    ("query_id", pa.int64()),
+                    ("neighbor_id", pa.int64()),
+                    ("cosine", pa.float64()),
+                    ("rank", pa.int32()),
+                ]
+            ),
+        )
     with open(stamp, "w") as fh:
         fh.write(fp)
     return paths

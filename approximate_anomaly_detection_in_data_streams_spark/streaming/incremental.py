@@ -54,6 +54,12 @@ class SlideDetector:
     # processed batch with window population and work counters
     diagnostics: list[dict] = field(default_factory=list)
 
+    def _allowed(self, X: np.ndarray) -> np.ndarray | None:
+        """Candidate mask hook: (n, n) bool of pairs the detector may count
+        as neighbors, or None for the exact all-pairs semantics (MCOD).
+        LSHSlideDetector overrides with bucket-collision candidates."""
+        return None
+
     def _counts(self, X: np.ndarray, ids: np.ndarray) -> np.ndarray:
         """Neighbor counts (dist <= R) of each row among all rows, self
         excluded — one blocked pairwise pass per batch."""
@@ -62,10 +68,13 @@ class SlideDetector:
         r2 = float(self.cfg.r) ** 2
         sq = np.einsum("ij,ij->i", X, X)
         out = np.empty(len(ids), dtype=np.int64)
+        allowed = self._allowed(X)
         chunk = 2048
         for s in range(0, len(ids), chunk):
             d2 = sq[s : s + chunk, None] + sq[None, :] - 2.0 * (X[s : s + chunk] @ X.T)
             m = d2 <= r2
+            if allowed is not None:
+                m &= allowed[s : s + chunk]
             m[np.arange(m.shape[0]), np.arange(s, s + m.shape[0])] = False
             out[s : s + chunk] = m.sum(axis=1)
         return out
@@ -132,10 +141,14 @@ class SlideDetector:
         sq = np.einsum("ij,ij->i", win_X, win_X)
         r2 = float(cfg.r) ** 2
         k = cfg.k
+        allowed = self._allowed(win_X)
         for i in range(len(ids)):
             gi = n_old + i
             d2 = sq[:gi] + sq[gi] - 2.0 * (win_X[:gi] @ win_X[gi])
-            cnt = int((d2 <= r2).sum())
+            ok = d2 <= r2
+            if allowed is not None:
+                ok &= allowed[gi, :gi]
+            cnt = int(ok.sum())
             if cnt < k:
                 self._state[int(ids[i])].ever_outlier = True
 
@@ -172,10 +185,63 @@ class SlideDetector:
         }
 
 
+@dataclass
+class LSHSlideDetector(SlideDetector):
+    """LSHOD variant of the incremental engine: neighbor counts are
+    restricted to pairs that collide in >= 1 of the L seeded p-stable LSH
+    tables (the reference's hash-table candidate union,
+    /root/reference/src/algorithms/LSHOD.java:85-103,
+    /root/reference/src/core/lsh/LSHIndex.java:33-44), with the exact
+    distance predicate applied to candidates only. Projections come from
+    the SAME ``make_projections(cfg, dim)`` seed as the batch path, and
+    each hash's dot product accumulates left-to-right over dims — the
+    identical IEEE op order as the batch path's JVM fold — so bucket keys
+    (and therefore the outlier set) are bit-equivalent to the batch LSHOD
+    detector (tests/test_streaming.py::test_lshod_slide_loop_matches_batch).
+    """
+
+    dim: int = 1
+
+    def __post_init__(self) -> None:
+        from ..operators.lsh import make_projections
+
+        self._A, self._b = make_projections(self.cfg, self.dim)
+        self._w = float(self.cfg.lsh_bucket_width)
+
+    def _allowed(self, X: np.ndarray) -> np.ndarray | None:
+        n = len(X)
+        L, m, d = self._A.shape
+        keys = np.empty((L, m, n), dtype=np.float64)
+        for t in range(L):
+            for i in range(m):
+                acc = X[:, 0] * self._A[t, i, 0]
+                for j in range(1, d):
+                    acc = acc + X[:, j] * self._A[t, i, j]
+                keys[t, i] = np.floor((acc + self._b[t, i]) / self._w)
+        coll = np.zeros((n, n), dtype=bool)
+        same = np.empty((n, n), dtype=bool)
+        for t in range(L):
+            kk = keys[t, 0]
+            np.equal(kk[:, None], kk[None, :], out=same)
+            for i in range(1, m):
+                kk = keys[t, i]
+                same &= kk[:, None] == kk[None, :]
+            coll |= same
+        return coll
+
+
+def make_slide_detector(cfg: DetectorConfig, dim: int) -> SlideDetector:
+    """Algorithm-routed incremental engine (mcod exact | lshod bucketed)."""
+    if cfg.algorithm == "lshod":
+        return LSHSlideDetector(cfg, dim=dim)
+    return SlideDetector(cfg)
+
+
 def run_slide_loop(ids: np.ndarray, X: np.ndarray, cfg: DetectorConfig) -> dict:
-    """Drive SlideDetector over a finite stream, slide by slide (the
-    reference's Executor main loop)."""
-    det = SlideDetector(cfg)
+    """Drive the incremental engine over a finite stream, slide by slide
+    (the reference's Executor main loop); algorithm-routed via
+    ``make_slide_detector``."""
+    det = make_slide_detector(cfg, int(np.asarray(X).shape[1]))
     n = len(ids)
     for start in range(0, n, cfg.slide):
         det.process_batch(ids[start : start + cfg.slide], X[start : start + cfg.slide])

@@ -35,7 +35,7 @@ import numpy as np
 import pandas as pd
 
 from ..config import DetectorConfig
-from .incremental import SlideDetector
+from .incremental import SlideDetector, make_slide_detector
 
 INPUT_SCHEMA = "key string, id long, features array<double>"
 OUTPUT_SCHEMA = "key string, kind string, value long"
@@ -43,14 +43,21 @@ STATE_SCHEMA = "blob binary"
 
 
 def _keyed_func(cfg: DetectorConfig):
-    """Build the applyInPandasWithState function (one detector per key)."""
+    """Build the applyInPandasWithState function (one detector per key).
+
+    The engine is algorithm-routed (``make_slide_detector``: exact MCOD or
+    LSH-bucketed LSHOD) and constructed LAZILY on the first data row so the
+    LSH variant can infer ``dim`` from the stream when ``cfg.dim`` is 0 —
+    the same inference the reference does by probing the first stream
+    object (/root/reference/src/core/Stream.java:16-22), paid once per key
+    instead of once per plan."""
 
     def func(key, pdfs, state):
         if state.exists:
             st = pickle.loads(state.get[0])
         else:
             st = {
-                "det": SlideDetector(cfg),
+                "det": None,
                 "pending": {},
                 "next": 1,
                 "expected": None,
@@ -63,6 +70,14 @@ def _keyed_func(cfg: DetectorConfig):
                     st["expected"] = -pid
                 else:
                     st["pending"][pid] = np.asarray(feats, dtype=np.float64)
+
+        if st["det"] is None:
+            if not st["pending"]:
+                # sentinel-only trigger before any data: nothing to process
+                state.update((pickle.dumps(st),))
+                return
+            dim = cfg.dim or len(next(iter(st["pending"].values())))
+            st["det"] = make_slide_detector(cfg, dim)
 
         det: SlideDetector = st["det"]
         S = cfg.slide

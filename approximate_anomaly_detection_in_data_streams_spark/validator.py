@@ -82,6 +82,16 @@ class ValidationReport:
     drift_slides: DataFrame
     violations: DataFrame
     partition_verdicts: DataFrame
+    # every DataFrame this report persisted (decode stage, digest stages);
+    # long-lived sessions issuing many reports should release them once
+    # all sinks are materialized (ADVICE r4)
+    persisted: list = field(default_factory=list)
+
+    def unpersist_all(self) -> None:
+        """Release every cached stage owned by this report."""
+        for df in self.persisted:
+            df.unpersist()
+        self.persisted.clear()
 
 
 def check_schema(df: DataFrame) -> tuple[bool, list[str]]:
@@ -124,11 +134,15 @@ def validate_images(
     # the decode stage through the payload-local scan so the bytes column
     # never crosses the JVM (decode_digests_parquet); all other stages and
     # the output contract are identical.
-    combined = row_checks_and_features(images, reference, payload_path=payload_path)
+    persisted: list = []
+    combined = row_checks_and_features(
+        images, reference, payload_path=payload_path, persisted_out=persisted
+    )
     if persist:
         from pyspark import StorageLevel
 
         combined = combined.persist(StorageLevel.MEMORY_AND_DISK)
+        persisted.append(combined)
     checks = combined.drop("ordinal", "features")
     # Uniqueness and duplicate-group sinks aggregate the persisted narrow
     # check rows (which carry the stored phash through the digest kernel)
@@ -156,6 +170,7 @@ def validate_images(
         from pyspark import StorageLevel
 
         dups_raw = dups_raw.persist(StorageLevel.MEMORY_AND_DISK)
+        persisted.append(dups_raw)
     phash_dups = dups_raw.orderBy(F.desc("n_dup"), "phash")
     # Column stats aggregate the persisted narrow check rows (w/h/n_bytes
     # fall out of the decode pass's Arrow offsets) rather than re-scanning
@@ -224,6 +239,7 @@ def validate_images(
         drift_slides=drift_slides,
         violations=violations,
         partition_verdicts=verdicts,
+        persisted=persisted,
     )
 
 

@@ -442,6 +442,16 @@ def test_decode_digests_parquet_multi_rowgroup(spark, tmp_path):
                key=lambda r: [r[k] for k in key])
     assert a == b and len(a) == CFG.n
 
+    # Auto task sizing (splits_per_task=None bin-packs against
+    # defaultParallelism) must be a pure re-binning: identical digest
+    # ROWS as an explicitly pinned split layout on the same multi-group
+    # table — only task granularity may differ (ADVICE r4).
+    c = sorted(
+        decode_digests_parquet(spark, multi, splits_per_task=1).collect(),
+        key=lambda r: [r[k] for k in key],
+    )
+    assert b == c
+
 
 def test_single_pass_sinks_match_direct_scan(spark, labeled, report):
     """uniqueness / phash_dups aggregate the persisted check rows (stored

@@ -332,6 +332,50 @@ def test_ivf_lloyd_partitioning_invariant(spark, sf_dir):
     assert np.allclose(np.linalg.norm(C, axis=1), 1.0)
 
 
+def test_ivf_deterministic_lloyd_matches_sequential_replay(spark):
+    """deterministic=True Lloyd refinement (ascending-id left-fold
+    per-centroid sums) must reproduce the sequential NumPy replay
+    BIT-FOR-BIT — codebook and full rounded top-k — on a small planted
+    corpus. This is the same contract the ivf_ann_refined driver oracle
+    checks at full size; the small shape keeps it in the unit suite."""
+    import numpy as np
+
+    from approximate_anomaly_detection_in_data_streams_spark.operators import knn
+    from approximate_anomaly_detection_in_data_streams_spark.oracle.planted import (
+        ivf_refined_truth,
+    )
+    from approximate_anomaly_detection_in_data_streams_spark.sources.vectors import (
+        generate_vectors,
+    )
+
+    n, dim, seed, n_centers, nlist, nprobe, k, iters, nq = 400, 8, 17, 6, 8, 3, 4, 2, 12
+    vecs = generate_vectors(spark, n, dim, seed, n_centers, partitions=7)
+    queries = vecs.where(F.col("vec_id") < nq)
+    got = [
+        (r.query_id, r.neighbor_id, r.cosine, r.rank)
+        for r in knn.ivf_ann_topk(
+            vecs, queries, "vec_id", "embedding", dim=dim, k=k,
+            nlist=nlist, nprobe=nprobe, lloyd_iters=iters, deterministic=True,
+        ).collect()
+    ]
+    want = [
+        (r["query_id"], r["neighbor_id"], r["cosine"], r["rank"])
+        for r in ivf_refined_truth(
+            n, dim, seed, n_centers, nlist, nprobe, k, iters, nq
+        )
+    ]
+    assert got == want  # exact floats included — no tolerance
+    # and the deterministic tier refines the same way the free-order tier
+    # does (same math, different reduction order): codebooks agree closely
+    C_det = knn.ivf_centroids(
+        vecs, "vec_id", "embedding", nlist, lloyd_iters=iters, deterministic=True
+    )
+    C_free = knn.ivf_centroids(
+        vecs, "vec_id", "embedding", nlist, lloyd_iters=iters
+    )
+    assert np.allclose(C_det, C_free, atol=1e-9)
+
+
 def test_ivf_corpus_partitioning(spark, sf_dir):
     """Every corpus vector lands in exactly one centroid bucket, and the
     buckets cover the corpus (the one-shuffle IVF invariant)."""
