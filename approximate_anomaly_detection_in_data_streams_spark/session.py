@@ -65,8 +65,12 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         # this engine's post-decode shuffles carry narrow digest/count
         # rows; the 64 MB default advisory size coalesces them to 1-3
-        # partitions and serializes mid-pipeline aggregations
-        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
+        # partitions and serializes mid-pipeline aggregations. Env
+        # override is an A/B knob only (BENCH.md micro-regression audit).
+        .config(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            os.environ.get("AADS_ADVISORY_BYTES", "8m"),
+        )
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # bound the transient per-batch allocation in Python workers
