@@ -236,7 +236,11 @@ def run_one(cores: int, img_path: str, ref_path: str) -> None:
         app_name=f"aads-scaling-{cores}",
         cores=cores,
         shuffle_partitions=2 * cores,
-        driver_memory="24g",
+        # both legs get the SAME heap (the protocol isolates the CPU
+        # axis); sized to the input — the 4M table's persisted narrow
+        # stages overflow a 24g heap's cache region and the measurement
+        # turns into GC/spill at both widths (BENCH.md round-5)
+        driver_memory=os.environ.get("AADS_SCALING_MEM", "24g"),
         extra={
             # size read tasks to ~4 waves per core, bounded to the
             # [8 MB, 128 MB] band: the production default (128 MB) is right

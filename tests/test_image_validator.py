@@ -418,6 +418,23 @@ def test_validate_images_payload_path_matches_dataframe_path(spark, tmp_path):
         vb = sorted(map(tuple, getattr(rb, stage).collect()))
         assert va == vb, stage
 
+    # cache-lifetime contract (ADVICE r4): persist=True surfaces every
+    # persisted stage on the report, and unpersist_all releases them all
+    rc = validate_images(images, reference, vcfg, persist=True)
+    rc.partition_verdicts.collect()
+    assert rc.persisted and all(
+        df.storageLevel.useMemory or df.storageLevel.useDisk
+        for df in rc.persisted
+    )
+    cached = list(rc.persisted)
+    rc.unpersist_all()
+    assert not rc.persisted
+    assert all(
+        not (df.storageLevel.useMemory or df.storageLevel.useDisk)
+        for df in cached
+    )
+
+
 def test_decode_digests_parquet_multi_rowgroup(spark, tmp_path):
     """Row-group-granular splits: a file with many small row groups must
     produce the same digests as the single-group layout (split list is
