@@ -938,6 +938,30 @@ def minhash_lsh_pairs(
                     did = int(ida_all[di])
                     if did not in memo:
                         memo[did] = _pack(text_col[di].as_py())
+                # CELL-LOCAL DENSE REMAP (r5): translate every doc's packed
+                # shingles to indices into the cell's sorted shingle union
+                # ONCE (one searchsorted per DOC), so each pair's
+                # intersection below is an O(1)-per-element membership-flag
+                # gather instead of a per-element binary search into A —
+                # the verify kernel's hot loop (~650M probes at sf0.1 for
+                # 2.17M near-threshold candidates; measured ~4x on the
+                # bench corpus). Exactness unchanged: arr ⊆ U, so the
+                # U-index equality is the same membership predicate.
+                imemo: dict[int, np.ndarray] = {}
+                if split != p1:
+                    cell_arrs = [
+                        (int(ida_all[di]), memo[int(ida_all[di])])
+                        for di in range(p0, split)
+                    ]
+                    nonempty = [a for _i, a in cell_arrs if len(a)]
+                    U = (
+                        np.unique(np.concatenate(nonempty))
+                        if nonempty
+                        else _EMPTY
+                    )
+                    flags = np.zeros(len(U), dtype=bool)
+                    for i_, a_ in cell_arrs:
+                        imemo[i_] = np.searchsorted(U, a_)
                 if split != p1:
                     # global pair dedupe: cross-band/cross-task duplicates
                     # of one pair all land in THIS group (gi, gj is a pure
@@ -954,12 +978,12 @@ def minhash_lsh_pairs(
                     bounds = np.flatnonzero(np.concatenate(([True], changed)))
                     bounds = np.append(bounds, m)
                     for g0, g1 in zip(bounds[:-1], bounds[1:]):
-                        A = memo.get(int(ida_s[g0]), _EMPTY)
-                        la = len(A)
+                        iA = imemo.get(int(ida_s[g0]), _EMPTY)
+                        la = len(iA)
                         if la == 0:
                             continue
                         Bs = [
-                            memo.get(int(idb_s[k2]), _EMPTY)
+                            imemo.get(int(idb_s[k2]), _EMPTY)
                             for k2 in range(g0, g1)
                         ]
                         lens = np.fromiter(
@@ -979,9 +1003,9 @@ def minhash_lsh_pairs(
                             continue
                         oki = np.flatnonzero(ok)
                         cat = np.concatenate([Bs[k2] for k2 in oki])
-                        idx = np.searchsorted(A, cat)
-                        np.minimum(idx, la - 1, out=idx)
-                        hit = (A[idx] == cat).astype(np.int64)
+                        flags[iA] = True
+                        hit = flags[cat].astype(np.int64)
+                        flags[iA] = False
                         lens_ok = lens[oki]
                         offs = np.zeros(len(oki), dtype=np.int64)
                         np.cumsum(lens_ok[:-1], out=offs[1:])
@@ -1056,7 +1080,15 @@ def minhash_lsh_pairs(
     # never O(pairs * |doc|), and the kernel packs each doc's shingles at
     # most once per task. Docs missing from the corpus simply never reach
     # the memo -> jaccard 0, the inner-join semantics this replaces.
-    vb = 16
+    # The text fan costs O(vb * corpus) bytes — the verify stage's dominant
+    # shuffle. vb=16 bounds per-cell text residency at 2/16 of the corpus
+    # for the banded (large-corpus) regime; on the SCREEN regime
+    # (touchable is None <=> n_reps <= allpairs_max_reps, a small corpus by
+    # construction) the same bound is loose by orders of magnitude, so a
+    # 4-block grid quarters the text shuffle and the per-cell group
+    # overheads while per-cell text stays <= half of a <=24k-doc corpus
+    # (r5; measured ~1 s at sf0.1 where the fan was 16x a 10 MB corpus).
+    vb = 4 if touchable is None else 16
     # Rep texts fan to the verify groups: every candidate pair references
     # rep ids, and a rep's jaccard IS its members' jaccard. On the banded
     # (large-corpus) path only TOUCHABLE reps fan — ids retained in some

@@ -51,11 +51,13 @@ HEADLINE = [
     "window_hourly_events",
     "value_drift_events",
     "minhash_pairs_documents",
+    "jaccard_pairs_capped",
     "simhash_pairs_documents",
     "embedding_neardup",
     "knn_bruteforce",
     "srp_ann",
     "ivf_ann",
+    "ivf_ann_refined",
     "audio_features",
     "video_frames",
     "lang_id_documents",
