@@ -133,3 +133,26 @@ def test_audio_video_truth_match_kernels(spark):
         for t in video_truth(n, seed, 2)
     }
     assert got_rows == want_rows
+
+
+def test_vector_generator_replay_bit_exact(spark):
+    """The distributed vector generator and the pure-Python definition it
+    shares with the IVF replay (sources/vectors.py::vector_values) must
+    produce identical float32 bits row for row — the premise of the
+    ivf_ann_refined planted oracle."""
+    import numpy as np
+
+    from approximate_anomaly_detection_in_data_streams_spark.sources.vectors import (
+        generate_vectors,
+        vector_values,
+    )
+
+    n, dim, seed, ncen = 200, 8, 17, 6
+    rows = {
+        r["vec_id"]: np.array(r["embedding"], dtype=np.float32)
+        for r in generate_vectors(spark, n, dim, seed, ncen, partitions=5).collect()
+    }
+    assert len(rows) == n
+    for i in range(n):
+        want = np.array(vector_values(seed, i, dim, ncen), dtype=np.float32)
+        assert np.array_equal(rows[i], want), i
