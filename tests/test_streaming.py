@@ -172,6 +172,45 @@ def test_keyed_stream_matches_batch_per_key(spark, gauss2d, tmp_path):
             assert got[key][kk] == exp[kk]
 
 
+def test_lshod_keyed_stream_multi_key(spark, gauss2d, tmp_path):
+    """Two independent LSHOD streams through one keyed state-store query:
+    per-key results must equal standalone incremental runs (which the
+    batch-equivalence test above ties to the batch detector)."""
+    from approximate_anomaly_detection_in_data_streams_spark.streaming.keyed import (
+        run_keyed_structured_stream,
+    )
+
+    streams = {"a": gauss2d[:500], "b": gauss2d[500:1200]}
+    src = tmp_path / "lshod_keyed_in"
+    src.mkdir()
+    seq = 0
+    for key, X in streams.items():
+        for start in range(0, len(X), LSHOD_CFG.slide):
+            with open(src / f"f_{seq:06d}_{key}.json", "w") as fh:
+                for i in range(start, min(start + LSHOD_CFG.slide, len(X))):
+                    fh.write(
+                        json.dumps(
+                            {"key": key, "id": i + 1,
+                             "features": [float(x) for x in X[i]]}
+                        ) + "\n"
+                    )
+            seq += 1
+    with open(src / "zz_sentinels.json", "w") as fh:
+        for key, X in streams.items():
+            fh.write(json.dumps({"key": key, "id": -len(X), "features": []}) + "\n")
+
+    got = run_keyed_structured_stream(
+        spark, str(src), LSHOD_CFG, str(tmp_path / "ck_lshod_keyed")
+    )
+    assert set(got) == set(streams)
+    for key, X in streams.items():
+        ids = np.arange(1, len(X) + 1)
+        exp = run_slide_loop(ids, X, LSHOD_CFG)
+        assert got[key]["outliers"] == exp["outliers"]
+        for kk in ("n_only_inlier", "n_only_outlier", "n_both_inlier_outlier"):
+            assert got[key][kk] == exp[kk]
+
+
 def test_keyed_stream_resumes_from_checkpoint(spark, gauss2d, tmp_path):
     """Kill/resume: a first availableNow run drains only the files present;
     a second run with the SAME checkpoint dir must restore the state-store
